@@ -1,0 +1,109 @@
+"""Content hashing: exact (CRC32+length) and near-dup (32-bit simhash).
+
+Semantics match the reference's from-scratch implementations
+(``lib/duphash.py``): CRC-32 with the standard reflected polynomial
+0xEDB88320 (init/xorout all-ones — i.e. the standard CRC-32/IEEE that
+``zlib.crc32`` computes, which we use for speed; equality with a table-driven
+reimplementation is asserted in tests), and CRC-64 with the standard
+reflected polynomial 0xC96C5795D7870F42 (CRC-64/XZ parameters).
+
+The simhash is the classic Charikar simhash over unigram word counts
+(``lib/duphash.py:108-134``): each word hashed to 32 bits via
+``crc64(word) mod 2^32``, per-bit signed sums weighted by count, fingerprint
+bit i (MSB-first) = 1 iff the sum is strictly positive. Represented here as a
+uint32 (bit 31 == the reference's ``v[0]``).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_CRC64_POLY = 0xC96C5795D7870F42
+
+# table-driven CRC-64 (reflected), standard construction
+_CRC64_TABLE = np.zeros(256, dtype=np.uint64)
+for _i in range(256):
+    _v = _i
+    for _ in range(8):
+        _v = (_v >> 1) ^ _CRC64_POLY if _v & 1 else _v >> 1
+    _CRC64_TABLE[_i] = _v
+_CRC64_TABLE_PY = [int(x) for x in _CRC64_TABLE]
+
+# popcount-by-byte lookup for fast Hamming distance
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def crc32(data: bytes) -> int:
+    """Standard CRC-32 (reflected 0xEDB88320, init/xorout 0xFFFFFFFF)."""
+    return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def crc64(data: bytes) -> int:
+    """Standard reflected CRC-64 (poly 0xC96C5795D7870F42, CRC-64/XZ)."""
+    crc = 0xFFFFFFFFFFFFFFFF
+    table = _CRC64_TABLE_PY
+    for b in data:
+        crc = (crc >> 8) ^ table[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFFFFFFFFFF
+
+
+def exact_hash(content: str | bytes) -> bytes:
+    """CRC-32 of the utf-8 content plus its byte length as an 8-byte key
+    (``lib/duphash.py:80-92``)."""
+    if isinstance(content, str):
+        content = content.encode("utf-8")
+    return crc32(content).to_bytes(4, "little") + len(content).to_bytes(4, "little")
+
+
+class WordHashCache:
+    """Memoized ``crc64(word) % 2^32`` (vocab is Zipfian; one per actor)."""
+
+    def __init__(self) -> None:
+        self._cache: dict[str, int] = {}
+
+    def hash32(self, word: str) -> int:
+        h = self._cache.get(word)
+        if h is None:
+            h = crc64(word.encode("utf-8")) & 0xFFFFFFFF
+            if len(self._cache) < 2_000_000:
+                self._cache[word] = h
+        return h
+
+
+_SHIFTS = np.arange(31, -1, -1, dtype=np.uint32)  # MSB-first, like the reference
+
+
+def simhash(wordcnts: dict[str, int], hash_cache: WordHashCache | None = None) -> int:
+    """32-bit simhash over a word-count dict, as a uint32 int.
+
+    Bit 31 corresponds to the reference fingerprint's first character
+    (``lib/duphash.py:108-134``); a bit is set iff the signed sum is > 0.
+    """
+    if not wordcnts:
+        return 0  # all-zero fingerprint (sums are all 0, not > 0)
+    hc = hash_cache or _DEFAULT_WORD_HASHES
+    hashes = np.fromiter(
+        (hc.hash32(w) for w in wordcnts), dtype=np.uint64, count=len(wordcnts)
+    )
+    counts = np.fromiter(wordcnts.values(), dtype=np.int64, count=len(wordcnts))
+    bits = ((hashes[:, None] >> _SHIFTS[None, :].astype(np.uint64)) & 1).astype(np.int64)
+    v = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+    # v[0] is the MSB (reference fingerprint char 0); bit set iff sum > 0
+    weights = (np.uint64(1) << _SHIFTS.astype(np.uint64))
+    return int((weights * (v > 0)).sum())
+
+
+def hamming32(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def hamming32_vec(arr: np.ndarray, h: int) -> np.ndarray:
+    """Hamming distance of each uint32 in ``arr`` vs scalar ``h``."""
+    x = arr ^ np.uint32(h)
+    view = x.view(np.uint8).reshape(-1, 4)
+    return _POPCNT8[view].sum(axis=1)
+
+
+_DEFAULT_WORD_HASHES = WordHashCache()

@@ -1,0 +1,305 @@
+"""Unit tests for the pure functions (no Ray needed)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_ray.functions import hashing, htmlx, porter, tokenizer, varbyte
+
+
+# ---------------------------------------------------------------- porter
+
+# examples from the published algorithm (Porter 1980)
+PORTER_GOLDEN = {
+    "caresses": "caress",
+    "ponies": "poni",
+    "ties": "ti",
+    "caress": "caress",
+    "cats": "cat",
+    "feed": "feed",
+    "agreed": "agre",  # agreed -> agree (1b) -> agre (5a: m(agre[:-1]='agr')... )
+    "plastered": "plaster",
+    "bled": "bled",
+    "motoring": "motor",
+    "sing": "sing",
+    "conflated": "conflat",
+    "troubled": "troubl",
+    "sized": "size",
+    "hopping": "hop",
+    "tanned": "tan",
+    "falling": "fall",
+    "hissing": "hiss",
+    "fizzed": "fizz",
+    "failing": "fail",
+    "filing": "file",
+    "happy": "happi",
+    "sky": "sky",
+    "relational": "relat",
+    "conditional": "condit",
+    "rational": "ration",
+    "valenci": "valenc",
+    "digitizer": "digit",
+    "operator": "oper",
+    "feudalism": "feudal",
+    "decisiveness": "decis",
+    "hopefulness": "hope",
+    "callousness": "callous",
+    "formaliti": "formal",
+    "sensitiviti": "sensit",
+    "sensibiliti": "sensibl",
+    "triplicate": "triplic",
+    "formative": "form",
+    "formalize": "formal",
+    "electriciti": "electr",
+    "electrical": "electr",
+    "hopeful": "hope",
+    "goodness": "good",
+    "revival": "reviv",
+    "allowance": "allow",
+    "inference": "infer",
+    "airliner": "airlin",
+    "gyroscopic": "gyroscop",
+    "adjustable": "adjust",
+    "defensible": "defens",
+    "irritant": "irrit",
+    "replacement": "replac",
+    "adjustment": "adjust",
+    "dependent": "depend",
+    "adoption": "adopt",
+    "homologou": "homolog",
+    "communism": "commun",
+    "activate": "activ",
+    "angulariti": "angular",
+    "homologous": "homolog",
+    "effective": "effect",
+    "bowdlerize": "bowdler",
+    "probate": "probat",
+    "rate": "rate",
+    "cease": "ceas",
+    "controll": "control",
+    "roll": "roll",
+}
+
+
+def test_porter_golden():
+    bad = {
+        w: (porter.stem(w), want)
+        for w, want in PORTER_GOLDEN.items()
+        if porter.stem(w) != want
+    }
+    assert not bad, bad
+
+
+def test_porter_short_words_unchanged():
+    assert porter.stem("is") == "is"
+    assert porter.stem("a") == "a"
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_porter_never_crashes_and_shrinks(w):
+    s = porter.stem(w)
+    assert isinstance(s, str)
+    assert len(s) <= max(len(w), 1)
+
+
+def test_cached_stemmer_matches():
+    cs = porter.CachedStemmer()
+    for w in PORTER_GOLDEN:
+        assert cs.stem(w) == porter.stem(w)
+        assert cs.stem(w) == porter.stem(w)  # cached path
+
+
+# ---------------------------------------------------------------- tokenizer
+
+
+def test_tokenize_basic():
+    assert tokenizer.tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+
+
+def test_tokenize_code_query():
+    # TEST.txt query 15: print("Hello world!")
+    assert tokenizer.tokenize('print("Hello world!")') == [
+        "print", "(", '"', "hello", "world", "!", '"', ")",
+    ]
+
+
+def test_tokenize_keeps_internal_apostrophe_and_period():
+    assert tokenizer.tokenize("don't stop 3.14") == ["don't", "stop", "3.14"]
+
+
+def test_simple_tokens_matches_duckdb():
+    import duckdb
+
+    texts = ["Hello, World 42!", "  a--b  ", "", "ÜBER über", "x"]
+    for t in texts:
+        got = tokenizer.simple_tokens(t)
+        want = duckdb.sql(
+            "select list_filter(regexp_split_to_array(lower(?), '[^a-z0-9]+'), x -> x <> '')",
+            params=[t],
+        ).fetchone()[0]
+        assert got == want, (t, got, want)
+
+
+def test_word_count():
+    assert tokenizer.word_count(["a", "b", "a"]) == {"a": 2, "b": 1}
+
+
+def test_stopwords():
+    assert tokenizer.is_stopword("the")
+    assert tokenizer.is_stopword("aren't")
+    assert not tokenizer.is_stopword("ray")
+
+
+# ---------------------------------------------------------------- hashing
+
+
+def _crc32_from_scratch(data: bytes) -> int:
+    """Table-driven CRC-32 mirroring the reference algorithm shape
+    (lib/duphash.py:9-39) to prove zlib.crc32 equality."""
+    poly = 0xEDB88320
+    table = []
+    for i in range(256):
+        v = i
+        for _ in range(8):
+            v = (v >> 1) ^ poly if v & 1 else v >> 1
+        table.append(v)
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ table[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_crc32_equals_from_scratch(data):
+    assert hashing.crc32(data) == _crc32_from_scratch(data)
+
+
+def test_crc64_known_vector():
+    # CRC-64/XZ check value for "123456789" (public test vector)
+    assert hashing.crc64(b"123456789") == 0x995DC9BBDF1939FA
+
+
+def test_exact_hash_layout():
+    h = hashing.exact_hash("abc")
+    assert len(h) == 8
+    assert int.from_bytes(h[4:], "little") == 3
+    assert hashing.exact_hash("abc") == hashing.exact_hash(b"abc")
+    assert hashing.exact_hash("abc") != hashing.exact_hash("abd")
+
+
+def _simhash_reference_style(wordcnts: dict[str, int]) -> int:
+    """Literal transcription of the simhash spec (lib/duphash.py:108-134)
+    using our crc64, producing an int from the bit string."""
+    hash_size = 32
+    v = [0] * hash_size
+    for word, cnt in wordcnts.items():
+        word_hash = hashing.crc64(word.encode("utf-8")) % (2**hash_size)
+        binary_hash = format(word_hash, f"0{hash_size}b")
+        for i in range(hash_size):
+            bit_value = 1 if binary_hash[i] == "1" else -1
+            v[i] += bit_value * cnt
+    fingerprint = "".join("1" if x > 0 else "0" for x in v)
+    return int(fingerprint, 2)
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefg", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=9),
+        max_size=12,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_simhash_matches_spec(wc):
+    assert hashing.simhash(wc) == _simhash_reference_style(wc)
+
+
+def test_hamming():
+    assert hashing.hamming32(0b1010, 0b0011) == 2
+    arr = np.array([0b1010, 0b0011, 0xFFFFFFFF], dtype=np.uint32)
+    assert hashing.hamming32_vec(arr, 0b1010).tolist() == [0, 2, 30]
+
+
+# ---------------------------------------------------------------- varbyte
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert varbyte.vb_decode(varbyte.vb_encode(arr)).tolist() == vals
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=2**40), min_size=0, max_size=200, unique=True)
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip(ids):
+    ids = sorted(ids)
+    tfs = [(i % 7) + 1 for i in range(len(ids))]
+    dvb, tvb = varbyte.encode_postings(
+        np.array(ids, dtype=np.uint64), np.array(tfs, dtype=np.uint64)
+    )
+    d, t = varbyte.decode_postings(dvb, tvb)
+    assert d.tolist() == ids
+    assert t.tolist() == tfs
+
+
+def test_block_max():
+    ids = np.arange(1, 301)
+    scores = np.linspace(0, 1, 300).astype(np.float32)
+    last, bounds = varbyte.block_max(ids, scores, 128)
+    assert last.tolist() == [128, 256, 300]
+    assert len(bounds) == 3
+    assert bounds[2] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- htmlx
+
+
+def test_extract_text_and_tags():
+    html = (
+        "<html><head><title>My Title</title></head><body>"
+        "<h1>Big Heading</h1><p>plain text with <b>bold words</b> here</p>"
+        "</body></html>"
+    )
+    text, tag_text, links = htmlx.extract(html, "http://x.com/a")
+    assert text == "My TitleBig Headingplain text with bold words here"
+    assert tag_text["title"] == "My Title"
+    assert tag_text["h1"] == "Big Heading"
+    assert tag_text["b"] == "bold words"
+    assert links == []
+
+
+def test_extract_nested_important_attribution():
+    # a <b> inside an <h1>: text attributed to h1 only (decompose semantics,
+    # makeindex.py:168-174)
+    html = "<h1>head <b>inner</b></h1><b>outer</b>"
+    _, tag_text, _ = htmlx.extract(html, "http://x.com/")
+    assert tag_text["h1"] == "head inner"
+    assert tag_text["b"] == "outer"
+
+
+def test_extract_links():
+    html = (
+        '<body><a href="/rel">r</a>'
+        '<a href="http://other.com/p#frag">o</a>'
+        '<a href="/rel">dup</a>'
+        '<h1><a href="/inside-important">lost</a></h1></body>'
+    )
+    _, _, links = htmlx.extract(html, "http://x.com/base/page")
+    assert links == ["http://x.com/rel", "http://other.com/p"]
+
+
+def test_extract_includes_script_text():
+    # bs4 get_text() includes script/style contents (makeindex.py:155)
+    text, _, _ = htmlx.extract("<script>var x=1;</script><p>hi</p>", "http://x/")
+    assert text == "var x=1;hi"
+
+
+def test_defrag():
+    assert htmlx.defrag("http://x.com/a#b") == "http://x.com/a"
+    assert htmlx.defrag("http://x.com/a") == "http://x.com/a"
