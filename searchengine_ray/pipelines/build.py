@@ -1,0 +1,289 @@
+"""The index-build pipeline: pages → docs + edges + texts + segments.
+
+Ray-Data re-expression of ``makeindex.py`` (SURVEY.md §3.1 rebuild trace):
+
+1. ``page_keys`` map: narrow key table (url, warc_ts, defrag_url, empty,
+   exact_hash) — html is scanned once, never shuffled for dedup.
+2. docid assignment: sort the key table by (defrag_url, url, warc_ts),
+   zip-with-index (canonical order, SURVEY.md §7 step 4).  Every input row
+   consumes a docid — empty/dup rows leave gaps, matching the reference's
+   sparse docid space (``makeindex.py:108``, ``lib/reader.py:56-66``).
+3. D1/D2 dedup groupbys on the key table (min docid wins == first wins).
+4. One hash join attaches (docid, defrag_url) to the surviving html rows —
+   the only shuffle the html column ever takes.
+5. ``ExtractBatch`` actor pool: text (byte-identity invariant), simhash,
+   stemmed term counts, links.  Checkpointed to Parquet (resume unit).
+6. D3 simhash near-dup (window parity mode / LSH scale mode).
+7. docs, texts, edges (url→docid resolution join, ``lib/reader.py:104-145``)
+   and varbyte posting-list segments (the groupby(term) wide shuffle with
+   hot-term salting) — each a checkpointed Parquet dataset with lineage.
+
+Resume: re-running with the same ``out_dir`` skips completed stages
+(StageCheckpoint manifests).  A global ``manifest.json`` (the reference's
+mergeinfo, ``lib/writer.py:284-291``) commits last.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from searchengine_ray import params
+from searchengine_ray.stages import dedup, postings as postings_mod
+from searchengine_ray.stages.docid import zip_with_index
+from searchengine_ray.stages.extract import (
+    ExtractBatch,
+    explode_links,
+    explode_postings,
+    page_keys,
+)
+from searchengine_ray.state.checkpoint import StageCheckpoint
+
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    num_rows: int
+    last_docid: int
+    num_docs: int
+    num_terms: int
+    pruned_empty: int
+    pruned_url: int
+    pruned_exact: int
+    pruned_neardup: int
+    avgdl: float
+    wall_s: dict
+
+    @property
+    def docs_dir(self) -> str:
+        return os.path.join(self.out_dir, "docs")
+
+    @property
+    def edges_dir(self) -> str:
+        return os.path.join(self.out_dir, "edges")
+
+    @property
+    def segments_dir(self) -> str:
+        return os.path.join(self.out_dir, "segments")
+
+    @property
+    def texts_dir(self) -> str:
+        return os.path.join(self.out_dir, "texts")
+
+
+def _load_manifest(out_dir: str) -> BuildResult | None:
+    path = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    d.pop("config", None)
+    return BuildResult(**d)
+
+
+def build_index(
+    pages: ray.data.Dataset,
+    out_dir: str,
+    cfg: params.BuildConfig | None = None,
+    join_partitions: int | None = None,
+) -> BuildResult:
+    cfg = cfg or params.BuildConfig()
+    done = _load_manifest(out_dir)
+    if done is not None:
+        return done
+    if join_partitions is None:
+        # each hash-join aggregator actor reserves 0.125 CPU; cap the pool at
+        # half the cluster so map/actor stages are never starved (a 32-actor
+        # join on a 4-CPU test cluster deadlocks the extract pool)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        join_partitions = max(2, min(64, cpus * 2))
+    os.makedirs(out_dir, exist_ok=True)
+    wall: dict[str, float] = {}
+
+    # ---- 1-4: keys, docids, exact dedup, survivor join ------------------
+    t0 = time.perf_counter()
+    ck_extracted = StageCheckpoint(out_dir, "extracted")
+    if ck_extracted.is_complete():
+        extracted = ck_extracted.read()
+        st = ck_extracted.load_manifest()
+        num_rows = st["num_rows"]
+        pruned_empty = st["pruned_empty"]
+        pruned_url = st["pruned_url"]
+        pruned_exact = st["pruned_exact"]
+    else:
+        keys = pages.map_batches(page_keys, batch_format="pyarrow")
+        keys = keys.sort(["defrag_url", "url", "warc_ts"])
+        keys = zip_with_index(keys, "docid")  # materializes the key table
+
+        num_rows = keys.count()
+        pruned_empty = keys.filter(expr="empty == True").count()
+        survivors = dedup.dedup_url_exact(keys).materialize()
+        num_surv = survivors.count()
+        # D1 survivor count (for the pruned_url/exact split)
+        d1_count = (
+            keys.filter(expr="empty == False")
+            .groupby("defrag_url")
+            .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+            .count()
+        )
+        pruned_url = num_rows - pruned_empty - d1_count
+        pruned_exact = d1_count - num_surv
+
+        with_html = pages.select_columns(["url", "warc_ts", "html"]).join(
+            survivors.select_columns(["url", "warc_ts", "docid", "defrag_url"]),
+            join_type="inner",
+            num_partitions=join_partitions,
+            on=("url", "warc_ts"),
+        )
+
+        ex = with_html.select_columns(["docid", "defrag_url", "html"]).map_batches(
+            ExtractBatch,
+            fn_constructor_kwargs={"importance_bug": cfg.importance_bug},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extract_concurrency or (1, 16),
+        )
+        extracted = ck_extracted.write(
+            ex,
+            num_rows=num_rows,
+            pruned_empty=pruned_empty,
+            pruned_url=pruned_url,
+            pruned_exact=pruned_exact,
+        )
+    wall["extract"] = time.perf_counter() - t0
+
+    # ---- 6: near-dup (D3) ----------------------------------------------
+    t0 = time.perf_counter()
+    if cfg.near_dup_mode == "window":
+        pruned_ids = dedup.simhash_prune_window(extracted)
+    elif cfg.near_dup_mode == "lsh":
+        pruned_ids = {
+            r["docid"] for r in dedup.simhash_prune_lsh(extracted).take_all()
+        }
+    else:
+        pruned_ids = set()
+    pruned_neardup = len(pruned_ids)
+    if pruned_ids:
+        pruned_ref = ray.put(frozenset(pruned_ids))
+
+        def drop_pruned(batch: pa.Table) -> pa.Table:
+            ids = ray.get(pruned_ref)
+            mask = pa.array([d not in ids for d in batch["docid"].to_pylist()])
+            return batch.filter(mask)
+
+        survivors_ex = extracted.map_batches(drop_pruned, batch_format="pyarrow")
+    else:
+        survivors_ex = extracted
+    wall["neardup"] = time.perf_counter() - t0
+
+    # ---- 7a: docs + texts ----------------------------------------------
+    t0 = time.perf_counter()
+    ck_docs = StageCheckpoint(out_dir, "docs")
+    if ck_docs.is_complete():
+        docs = ck_docs.read()
+    else:
+
+        def to_docs(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "docid": batch["docid"],
+                    "url": batch["url"],
+                    "total_tokens": batch["total_tokens"],
+                    "doc_len": batch["doc_len"],
+                    "pr_quality": pa.array([1.0] * n, pa.float32()),
+                    "hub_quality": pa.array([1.0] * n, pa.float32()),
+                    "auth_quality": pa.array([1.0] * n, pa.float32()),
+                }
+            )
+
+        docs = ck_docs.write(
+            survivors_ex.map_batches(to_docs, batch_format="pyarrow"),
+            pruned_neardup=pruned_neardup,
+        )
+
+    ck_texts = StageCheckpoint(out_dir, "texts")
+    if cfg.keep_text and not ck_texts.is_complete():
+        ck_texts.write(survivors_ex.select_columns(["docid", "url", "text"]))
+
+    num_docs = docs.count()
+    last_docid = docs.max("docid") if num_docs else 0
+    avgdl = (docs.mean("doc_len") or 0.0) if num_docs else 0.0
+    wall["docs"] = time.perf_counter() - t0
+
+    # ---- 7b: edges (url→docid resolution, J1) --------------------------
+    t0 = time.perf_counter()
+    ck_edges = StageCheckpoint(out_dir, "edges")
+    if ck_edges.is_complete():
+        pass
+    else:
+        raw_edges = survivors_ex.map_batches(explode_links, batch_format="pyarrow")
+        resolved = raw_edges.join(
+            docs.select_columns(["url", "docid"]),
+            join_type="inner",
+            num_partitions=join_partitions,
+            on=("dst_url",),
+            right_on=("url",),
+        )
+        edges = resolved.map_batches(
+            lambda t: pa.table({"src": t["src"], "dst": t["docid"]}),
+            batch_format="pyarrow",
+        )
+        ck_edges.write(edges)
+    wall["edges"] = time.perf_counter() - t0
+
+    # ---- 7c: posting-list segments (A1, the wide shuffle) ---------------
+    t0 = time.perf_counter()
+    ck_seg = StageCheckpoint(out_dir, "segments")
+    if ck_seg.is_complete():
+        num_terms = ck_seg.load_manifest()["num_terms"]
+    else:
+        flat = survivors_ex.map_batches(explode_postings, batch_format="pyarrow")
+        hot: set[str] = set()
+        if cfg.hot_term_df_threshold and num_docs > cfg.hot_term_df_threshold:
+            flat = flat.materialize()
+            hot = postings_mod.estimate_hot_terms(flat, cfg.hot_term_df_threshold)
+        segments = postings_mod.build_segments(
+            flat,
+            avgdl=avgdl,
+            max_docid=last_docid,
+            hot_terms=hot,
+            num_salts=cfg.hot_term_salts,
+            num_buckets=cfg.num_term_buckets,
+        )
+        seg_dir = ck_seg.dir
+        import shutil
+
+        if os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir)
+        segments.write_parquet(seg_dir, partition_cols=["bucket"])
+        num_terms = ray.data.read_parquet(seg_dir).count()
+        ck_seg.commit(num_terms=num_terms, hot_terms=sorted(hot))
+    wall["segments"] = time.perf_counter() - t0
+
+    result = BuildResult(
+        out_dir=out_dir,
+        num_rows=num_rows,
+        last_docid=last_docid,
+        num_docs=num_docs,
+        num_terms=num_terms,
+        pruned_empty=pruned_empty,
+        pruned_url=pruned_url,
+        pruned_exact=pruned_exact,
+        pruned_neardup=pruned_neardup,
+        avgdl=float(avgdl),
+        wall_s=wall,
+    )
+    tmp = os.path.join(out_dir, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({**result.__dict__, "config": cfg.__dict__}, f, indent=1, default=str)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+    return result

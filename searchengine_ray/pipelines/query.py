@@ -1,0 +1,330 @@
+"""Query engine over the built index (SURVEY.md §3.3 rebuild trace).
+
+A :class:`QueryEngine` instance holds the docs table as dense
+docid-indexed numpy arrays plus the segments manifest (the reference loads
+docinfo + seek tables into RAM at startup, ``lib/reader.py:33-101``), and
+answers queries by reading only the needed term rows from the Parquet
+segments (predicate pushdown on the ``term`` column within the term's hash
+bucket — the Parquet footer stats play the reference's ``.seek`` file,
+SURVEY.md §1.3).  Per-term posting rows are LRU-cached
+(``lib/reader.py:229``'s ``lru_cache(256)``).
+
+Two scoring modes:
+
+- :meth:`search` — the reference-exact scorer (``lib/queryproc.py:165-270``),
+  vectorized: stopword/zero-df validation with the df-min-heap rule,
+  conjunctive docid intersection, tf-idf with the intersected-df idf quirk
+  (A5), the cosine>0.4 gate, candidate-set L2 normalization, and the
+  0.61/0.39 relevance/quality mix.  Ties broken docid-ascending
+  (the reference relies on dict order — SURVEY.md §7 risks).
+- :meth:`search_bm25` — the additional disjunctive BM25 top-k mode with
+  block-max WAND skipping over the stored per-block bounds (north_star;
+  no reference counterpart).
+
+Designed for serving as a Ray actor pool: build one engine per actor in
+``__init__`` and evaluate query batches in ``__call__``
+(:class:`QueryActor`).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import math
+import os
+import zlib
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from searchengine_ray import params
+from searchengine_ray.functions import tokenizer, varbyte
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, cache_size: int = 256) -> None:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        self.num_docs = manifest["num_docs"]          # non-empty docs (N)
+        self.last_docid = manifest["last_docid"]
+        self.avgdl = manifest["avgdl"]
+        self.num_buckets = int(manifest["config"]["num_term_buckets"])
+
+        docs = pq.read_table(os.path.join(index_dir, "docs"))
+        n = self.last_docid + 1
+        self.total_tokens = np.zeros(n, dtype=np.int64)
+        self.doc_len = np.zeros(n, dtype=np.int64)
+        self.pr = np.zeros(n, dtype=np.float32)
+        self.hub = np.zeros(n, dtype=np.float32)
+        self.auth = np.zeros(n, dtype=np.float32)
+        ids = docs["docid"].to_numpy()
+        self.total_tokens[ids] = docs["total_tokens"].to_numpy()
+        self.doc_len[ids] = docs["doc_len"].to_numpy()
+        self.pr[ids] = docs["pr_quality"].to_numpy()
+        self.hub[ids] = docs["hub_quality"].to_numpy()
+        self.auth[ids] = docs["auth_quality"].to_numpy()
+        self.urls: dict[int, str] = dict(
+            zip(ids.tolist(), docs["url"].to_pylist())
+        )
+        self.segments_dir = os.path.join(index_dir, "segments")
+        self._seg_ds: dict[int, pads.Dataset] = {}
+        self._cache: OrderedDict[str, tuple | None] = OrderedDict()
+        self._cache_size = cache_size
+
+    # ------------------------------------------------------------ postings
+
+    def _bucket_ds(self, bucket: int) -> pads.Dataset | None:
+        ds = self._seg_ds.get(bucket)
+        if ds is None:
+            path = os.path.join(self.segments_dir, f"bucket={bucket}")
+            if not os.path.isdir(path):
+                self._seg_ds[bucket] = False  # type: ignore[assignment]
+                return None
+            ds = pads.dataset(path, format="parquet")
+            self._seg_ds[bucket] = ds
+        return ds or None
+
+    def fetch(self, term: str):
+        """(docids, tfs, importants, block_last, block_bound) or None."""
+        if term in self._cache:
+            self._cache.move_to_end(term)
+            return self._cache[term]
+        bucket = zlib.crc32(term.encode("utf-8")) % self.num_buckets
+        ds = self._bucket_ds(bucket)
+        row = None
+        if ds is not None:
+            t = ds.to_table(filter=pc.field("term") == term)
+            if t.num_rows:
+                r = t.to_pylist()[0]
+                docids, tfs = varbyte.decode_postings(r["docids_vb"], r["tfs_vb"])
+                imps = np.frombuffer(r["fields"], dtype=np.uint8).astype(np.int64)
+                row = (
+                    docids,
+                    tfs,
+                    imps,
+                    np.asarray(r["block_last"], dtype=np.int64),
+                    np.asarray(r["block_bound"], dtype=np.float64),
+                )
+        self._cache[term] = row
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return row
+
+    # ------------------------------------------------------- reference mode
+
+    def _validate(self, query: str) -> dict[str, int] | None:
+        """Tokenize/stem/count + the zero-df/stopword validation pass
+        (``lib/queryproc.py:172-230``).  Returns surviving term→freq or
+        None for an aborted (empty) result."""
+        tokens = tokenizer.stem_tokens(tokenizer.tokenize(query))
+        frequencies = tokenizer.word_count(tokens)
+
+        prune_count = valid_count = num_valid = 0
+        stop_heap: list[tuple[int, int, str]] = []
+        stopwords: set[str] = set()
+        for token in sorted(frequencies):
+            row = self.fetch(token)
+            df = len(row[0]) if row else 0
+            if df == 0:
+                if token.isalnum():
+                    prune_count += frequencies[token]
+                del frequencies[token]
+                continue
+            num_valid += 1
+            valid_count += frequencies[token]
+            if tokenizer.is_stopword(token):
+                tf = frequencies[token]
+                if not tf:
+                    continue
+                heapq.heappush(stop_heap, (df, tf, token))
+                stopwords.add(token)
+                del frequencies[token]
+
+        if prune_count > valid_count * 2:
+            return None
+        if stopwords and not (len(stopwords) < num_valid * 0.4):
+            for _ in range(int(math.log2(len(stopwords)))):
+                _, freq, token = heapq.heappop(stop_heap)
+                frequencies[token] = freq
+        return frequencies or None
+
+    def search(self, query: str, k: int | None = 5) -> list[tuple[int, float, str]]:
+        """Reference-exact scoring; returns [(docid, net_score, url)] ranked
+        desc, ties docid-asc; ``k=None`` returns all candidates."""
+        frequencies = self._validate(query)
+        if not frequencies:
+            return []
+        tokenset = list(frequencies.keys())
+        fetched = {t: self.fetch(t) for t in tokenset}
+
+        # conjunctive intersection (J3) over sorted docid arrays
+        cand = None
+        for t in sorted(tokenset, key=lambda t: len(fetched[t][0])):
+            ids = fetched[t][0]
+            cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
+            if cand.size == 0:
+                return []
+
+        T, C = len(tokenset), cand.size
+        tf = np.empty((T, C), dtype=np.float64)
+        imp = np.empty((T, C), dtype=np.int64)
+        for i, t in enumerate(tokenset):
+            ids, tfs, imps, *_ = fetched[t]
+            pos = np.searchsorted(ids, cand)
+            tf[i] = tfs[pos]
+            imp[i] = imps[pos]
+
+        # intersected-df idf (A5 quirk): df = 1 + |C| for every term
+        idf = math.log((1 + self.num_docs) / (1 + C))
+        importance = np.asarray(params.IMPORTANCE, dtype=np.float64)
+        tfidf = (tf / self.total_tokens[cand][None, :]) * idf * importance[imp]
+        doc_sums = tfidf.sum(axis=0)
+
+        qtotal = sum(frequencies.values())
+        qvec = np.array(
+            [frequencies[t] / qtotal * idf for t in tokenset], dtype=np.float64
+        )
+        q_norm = math.sqrt(float((qvec**2).sum()))
+        d_norm = np.sqrt((tfidf**2).sum(axis=0))
+        denom = d_norm * q_norm
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cosine = np.where(denom > 0, (tfidf * qvec[:, None]).sum(axis=0) / denom, 0.0)
+
+        sums_norm = math.sqrt(float((doc_sums**2).sum()))
+        cos_norm = math.sqrt(float((cosine**2).sum()))
+        nt = doc_sums / sums_norm if sums_norm else np.zeros(C)
+        nc = cosine / cos_norm if cos_norm else np.zeros(C)
+        relevance = np.where(
+            cosine > params.COSINE_GATE,
+            params.TFIDF_FACTOR * nt + params.COSINE_FACTOR * nc,
+            0.0,
+        )
+
+        def _qnorm(v: np.ndarray) -> np.ndarray:
+            nrm = math.sqrt(float((v**2).sum()))
+            return v / nrm if nrm else np.zeros_like(v)
+
+        prs = self.pr[cand].astype(np.float64)
+        hubs = self.hub[cand].astype(np.float64)
+        auths = self.auth[cand].astype(np.float64)
+        quality = (
+            params.PR_FACTOR * _qnorm(prs)
+            + params.HUB_FACTOR * _qnorm(hubs)
+            + params.AUTH_FACTOR * _qnorm(auths)
+        )
+        net = params.NET_RELEVANCE_FACTOR * relevance + params.QUALITY_FACTOR * quality
+
+        order = np.lexsort((cand, -net))
+        if k is not None:
+            order = order[:k]
+        return [(int(cand[i]), float(net[i]), self.urls.get(int(cand[i]), "")) for i in order]
+
+    # ------------------------------------------------------------ BM25 mode
+
+    def _bm25_idf(self, df: int) -> float:
+        return math.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5))
+
+    def _bm25_score_docs(self, cand: np.ndarray, rows: list) -> np.ndarray:
+        """Exact BM25 score of each candidate docid over all query terms
+        (vectorized searchsorted lookups into each docid-sorted list)."""
+        k1, b = params.BM25_K1, params.BM25_B
+        dl = self.doc_len[cand].astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / max(self.avgdl, 1e-9))
+        total = np.zeros(cand.size, dtype=np.float64)
+        for idf, (ids, tfs, *_rest) in rows:
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            hit = ids[pos_c] == cand
+            tf = np.where(hit, tfs[pos_c], 0).astype(np.float64)
+            total += idf * tf * (k1 + 1.0) / (tf + norm)
+        return total
+
+    def search_bm25(self, query: str, k: int = 10) -> list[tuple[int, float, str]]:
+        """Disjunctive BM25 top-k — vectorized max-score with block-max
+        pruning (exact; same top-k as brute force).
+
+        Terms are processed in descending max-impact order (idf × stored
+        block-bound max).  The first term's postings seed the top-k
+        threshold θ.  A doc absent from all terms processed so far can
+        score at most the remaining terms' suffix bound — once that is ≤ θ
+        no new candidates can qualify and the scan stops (max-score rule,
+        Turtle & Flood 1995).  Within a still-essential term, whole
+        128-posting blocks are skipped when ``idf·block_bound + suffix``
+        can't beat θ (block-max, Ding & Suel 2011) — vectorized with a
+        repeat-mask, no per-posting Python loop.
+        """
+        tokens = tokenizer.stem_tokens(tokenizer.tokenize(query))
+        terms = sorted(set(tokens))
+        fetched = [(t, self.fetch(t)) for t in terms]
+        rows = [
+            (self._bm25_idf(len(r[0])), r) for _, r in fetched if r is not None
+        ]
+        if not rows:
+            return []
+        rows.sort(key=lambda ir: -(ir[0] * float(ir[1][4].max())))
+        max_impact = np.array([idf * float(r[4].max()) for idf, r in rows])
+        suffix = np.concatenate([np.cumsum(max_impact[::-1])[::-1], [0.0]])
+
+        bs = params.BLOCK_MAX_SIZE
+        scores = np.empty(0, dtype=np.float64)
+        cand_all = np.empty(0, dtype=np.int64)
+        theta = -np.inf
+        for i, (idf, (ids, tfs, imps, blast, bbound)) in enumerate(rows):
+            if cand_all.size >= k and suffix[i] <= theta:
+                break  # no unseen doc can reach the top-k
+            new = ids[~np.isin(ids, cand_all, assume_unique=True)] if cand_all.size else ids
+            if cand_all.size >= k and new.size:
+                # block-max prune within this term's new candidates
+                bound = idf * bbound + suffix[i + 1]
+                keep_block = bound > theta
+                posting_keep = np.repeat(keep_block, bs)[: ids.size]
+                live = ids[posting_keep]
+                new = new[np.isin(new, live, assume_unique=True)]
+            if new.size == 0:
+                continue
+            new_scores = self._bm25_score_docs(new, rows)
+            cand_all = np.concatenate([cand_all, new])
+            scores = np.concatenate([scores, new_scores])
+            if cand_all.size >= k:
+                theta = np.partition(scores, -k)[-k]
+
+        order = np.lexsort((cand_all, -scores))[:k]
+        return [
+            (int(cand_all[i]), float(scores[i]), self.urls.get(int(cand_all[i]), ""))
+            for i in order
+        ]
+
+
+class QueryActor:
+    """Actor-pool batch evaluator: ``ray.data.from_items(queries)
+    .map_batches(QueryActor, fn_constructor_args=(index_dir,), ...)``."""
+
+    def __init__(self, index_dir: str, k: int = 5, mode: str = "reference") -> None:
+        self.engine = QueryEngine(index_dir)
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, queries = batch["qid"].to_pylist(), batch["query"].to_pylist()
+        out = {"qid": [], "rank": [], "docid": [], "score": [], "url": []}
+        for qid, q in zip(qids, queries):
+            fn = self.engine.search if self.mode == "reference" else self.engine.search_bm25
+            for rank, (docid, score, url) in enumerate(fn(q, self.k), 1):
+                out["qid"].append(qid)
+                out["rank"].append(rank)
+                out["docid"].append(docid)
+                out["score"].append(score)
+                out["url"].append(url)
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int32()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "docid": pa.array(out["docid"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+                "url": pa.array(out["url"], pa.string()),
+            }
+        )

@@ -1,0 +1,175 @@
+"""Extraction stage: html → text, per-term counts, links, simhash.
+
+The Ray-Data expression of the reference's per-doc chain
+(``makeindex.py:151-243``): a stateful callable class passed to
+``map_batches(ExtractBatch, batch_format="pyarrow", concurrency=...)``.
+Per-actor state built once in ``__init__`` (stem cache, simhash word-hash
+cache — the reference holds these as module singletons,
+``lib/tokenize.py:12-13``); ``__call__`` does the per-batch work.
+
+Two batch functions live here:
+
+- :func:`page_keys` — the *cheap* first pass over the raw pages: decodes
+  html, computes the empty flag and the CRC32+len exact-hash key
+  (``makeindex.py:116-141``).  Runs as stateless tasks; emits a narrow key
+  table so the dedup shuffles never move the html bytes.
+- :class:`ExtractBatch` — the *expensive* pass, run only on dedup
+  survivors: text extraction (byte-identity invariant,
+  ``makeindex.py:151-156``), important-tag token sets (:159-174), link
+  extraction (:177-187), simhash over unstemmed unigram counts
+  (:192-213, ``lib/duphash.py:108-134``), stemming + per-term counts
+  (:220-243).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from searchengine_ray import params
+from searchengine_ray.functions import hashing, htmlx, tokenizer
+from searchengine_ray.functions.porter import CachedStemmer
+
+# schema of the ExtractBatch output (one row per surviving doc)
+EXTRACTED_SCHEMA = pa.schema(
+    [
+        ("docid", pa.int64()),
+        ("url", pa.string()),          # defragged
+        ("text", pa.string()),         # byte-identity field
+        ("simhash", pa.int64()),       # uint32 value
+        ("total_tokens", pa.int32()),  # UNIQUE stemmed terms (makeindex.py:224)
+        ("doc_len", pa.int32()),       # token occurrences (BM25 dl; no ref equiv)
+        ("terms", pa.list_(pa.string())),
+        ("tfs", pa.list_(pa.int32())),
+        ("importants", pa.list_(pa.int32())),
+        ("links", pa.list_(pa.string())),
+    ]
+)
+
+
+def decode_content(html) -> str:
+    """Raw html bytes → stripped utf-8 text (``makeindex.py:114-122``)."""
+    raw = html or b""
+    if isinstance(raw, memoryview):
+        raw = raw.tobytes()
+    return raw.decode("utf-8", errors="replace").strip()
+
+
+def page_keys(batch: pa.Table) -> pa.Table:
+    """(url, warc_ts, html) → (url, warc_ts, defrag_url, empty, exact_hash).
+
+    Narrow key table for docid assignment + D1/D2 dedup; html never leaves
+    this task.
+    """
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+    defrags, empties, hashes = [], [], []
+    for u, h in zip(urls, htmls):
+        content = decode_content(h)
+        defrags.append(htmlx.defrag(u))
+        empties.append(not content)
+        hashes.append(hashing.exact_hash(content) if content else b"")
+    return pa.table(
+        {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "defrag_url": pa.array(defrags, pa.string()),
+            "empty": pa.array(empties, pa.bool_()),
+            "exact_hash": pa.array(hashes, pa.binary()),
+        }
+    )
+
+
+class ExtractBatch:
+    """Actor-pool batch fn: full extraction for dedup survivors.
+
+    Input batch: (docid, defrag_url, html).  Output: EXTRACTED_SCHEMA.
+    """
+
+    def __init__(self, importance_bug: bool = True) -> None:
+        self._stemmer = CachedStemmer()
+        self._word_hashes = hashing.WordHashCache()
+        self._importance_bug = importance_bug
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docids = batch["docid"].to_pylist()
+        urls = batch["defrag_url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+
+        out = {name: [] for name in EXTRACTED_SCHEMA.names}
+        for docid, url, html in zip(docids, urls, htmls):
+            content = decode_content(html)
+            text, tag_text, links = htmlx.extract(content, url)
+            tokens = tokenizer.tokenize(text)
+            sim = hashing.simhash(tokenizer.word_count(tokens), self._word_hashes)
+
+            stemmed = tokenizer.stem_tokens(tokens, self._stemmer)
+            token_counts = tokenizer.word_count(stemmed)
+
+            if self._importance_bug:
+                importants = [0] * len(token_counts)
+            else:
+                tag_sets = {
+                    tag: set(tokenizer.tokenize(tag_text.get(tag, "")))
+                    for tag, _ in params.IMPORTANT_TAGS
+                }
+                importants = []
+                for token in token_counts:
+                    val = 0
+                    for tag, tid in params.IMPORTANT_TAGS:
+                        if token in tag_sets[tag]:
+                            val = tid
+                            break
+                    importants.append(val)
+
+            out["docid"].append(docid)
+            out["url"].append(url)
+            out["text"].append(text)
+            out["simhash"].append(sim)
+            out["total_tokens"].append(len(token_counts))
+            out["doc_len"].append(len(stemmed))
+            out["terms"].append(list(token_counts.keys()))
+            out["tfs"].append(list(token_counts.values()))
+            out["importants"].append(importants)
+            out["links"].append(links)
+
+        return pa.Table.from_pydict(out, schema=EXTRACTED_SCHEMA)
+
+
+def explode_postings(batch: pa.Table) -> pa.Table:
+    """Extracted rows → flat (term, docid, tf, important, doc_len) tuples.
+
+    Zero-copy where Arrow allows: list flatten + parent-index repeat of the
+    scalar columns (no Python loop).
+    """
+    terms = batch["terms"]
+    if isinstance(terms, pa.ChunkedArray):
+        batch = batch.combine_chunks()
+        terms = batch["terms"]
+    tc = terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms
+    parent = pa.compute.list_parent_indices(tc)
+    take = lambda col: pa.compute.take(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, parent
+    )
+    flat = lambda col: (
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ).flatten()
+    return pa.table(
+        {
+            "term": flat(batch["terms"]),
+            "docid": take(batch["docid"]),
+            "tf": flat(batch["tfs"]),
+            "important": flat(batch["importants"]),
+            "doc_len": take(batch["doc_len"]),
+        }
+    )
+
+
+def explode_links(batch: pa.Table) -> pa.Table:
+    """Extracted rows → flat (src docid, dst_url) edge tuples."""
+    batch = batch.combine_chunks()
+    links = batch["links"]
+    lc = links.combine_chunks() if isinstance(links, pa.ChunkedArray) else links
+    parent = pa.compute.list_parent_indices(lc)
+    src = pa.compute.take(batch["docid"].combine_chunks(), parent)
+    return pa.table({"src": src, "dst_url": lc.flatten()})

@@ -1,0 +1,89 @@
+"""Stage checkpoints with lineage manifests (north_rule: resumable builds,
+per-partition lineage + metrics).
+
+Each pipeline stage that persists a dataset does so through
+:class:`StageCheckpoint`: the Parquet files land under ``<dir>/``, and a
+``_MANIFEST.json`` is written *after* the write completes (write-then-rename
+for atomicity).  On a re-run, a stage whose manifest exists is skipped and
+its output is re-read — the reference's resume story
+(``makeindex.py:296-319``: header ``is_complete`` + high-water mark)
+re-expressed at the dataset level.  An interrupted stage leaves no manifest;
+resume wipes the partial files and recomputes (idempotent).
+
+The manifest records per-file lineage: path, rows, bytes — plus stage wall
+time and arbitrary stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow.parquet as pq
+import ray.data
+
+MANIFEST = "_MANIFEST.json"
+
+
+class StageCheckpoint:
+    def __init__(self, root: str, name: str) -> None:
+        self.dir = os.path.join(root, name)
+        self.name = name
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.dir, MANIFEST)
+
+    def is_complete(self) -> bool:
+        return os.path.exists(self.manifest_path)
+
+    def load_manifest(self) -> dict:
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def read(self) -> ray.data.Dataset:
+        return ray.data.read_parquet(self.dir)
+
+    def write(self, ds: ray.data.Dataset, **stats) -> ray.data.Dataset:
+        """Write ``ds`` (wiping any partial previous attempt), then commit
+        the manifest.  Returns a fresh dataset reading the checkpoint (so
+        downstream stages consume Parquet, not a re-executed lineage)."""
+        if os.path.exists(self.dir):
+            shutil.rmtree(self.dir)
+        os.makedirs(self.dir, exist_ok=True)
+        t0 = time.perf_counter()
+        ds.write_parquet(self.dir)
+        wall = time.perf_counter() - t0
+        self.commit(wall_s=wall, **stats)
+        return self.read()
+
+    def commit(self, **stats) -> None:
+        """Write the manifest from whatever Parquet files are present."""
+        files = []
+        for root_, _, names in os.walk(self.dir):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.join(root_, n)
+                meta = pq.ParquetFile(p).metadata
+                files.append(
+                    {
+                        "path": os.path.relpath(p, self.dir),
+                        "rows": meta.num_rows,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+        manifest = {
+            "stage": self.name,
+            "completed_at": time.time(),
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "total_bytes": sum(f["bytes"] for f in files),
+            **stats,
+        }
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)
