@@ -1,44 +1,229 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full index build → link-graph
+scores → reference-scorer top-k) on sf0.001.  ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data operators); ``oracle_sql()`` carries the DuckDB-equivalent
+SQL for every SQL-expressible entry.  SQL-checked text operators use the
+SQL-parity tokenizer (lower, split on ``[^a-z0-9]+``); the reference
+search-engine tokenizer/stemmer path is validated by the pytest
+oracle-parity suite instead (tests/test_build_parity.py,
+tests/test_linkgraph_query.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+SEARCH_QUERIES = [
+    "hash join merge",
+    "window aggregate stream",
+    "spark query batch",
+    "customer order table",
+    "the a of",
+    "slow scan filter sort",
+]
+
+_INDEX_CACHE: dict[str, Any] = {}
+
+
+def _build_full_index(sf_dir: str):
+    """Build (or resume) the full search index over pages derived from the
+    documents table; returns the BuildResult.  Cached per sf_dir."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    import ray.data
+
+    from searchengine_ray.pipelines import linkgraph
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.sources.pages import pages_from_documents
+    from searchengine_ray.state.checkpoint import StageCheckpoint
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"se_ray_index_{tag}")
+    fresh = not os.path.exists(os.path.join(out_dir, "manifest.json"))
+    pages = ray.data.from_arrow(pages_from_documents(sf_dir))
+    result = build_index(pages, out_dir)
+    if fresh:
+        docs = ray.data.read_parquet(result.docs_dir)
+        edges = ray.data.read_parquet(result.edges_dir)
+        updated = linkgraph.compute_quality(
+            edges, docs, result.last_docid, method="local"
+        )
+        StageCheckpoint(out_dir, "docs").write(updated)
+    _INDEX_CACHE[sf_dir] = result
+    return result
+
+
+def _search_topk(sf_dir: str, mode: str):
+    import ray.data
+
+    from searchengine_ray.pipelines.query import QueryActor
+
+    result = _build_full_index(sf_dir)
+    queries = ray.data.from_items(
+        [{"qid": i, "query": q} for i, q in enumerate(SEARCH_QUERIES)]
+    )
+    k = 5 if mode == "reference" else 10
+    return queries.map_batches(
+        QueryActor,
+        fn_constructor_kwargs={"index_dir": result.out_dir, "k": k, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=(1, 2),
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build index on sf0.001 pages, score link graph, answer the
+    query set with the reference-exact scorer."""
+    ds = _search_topk("/root/testdata/sf0.001", "reference")
+    return ds.materialize()
+
+
+# --------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from searchengine_ray.pipelines import ops
+    from searchengine_ray.stages import media
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def index_docs(sf_dir: str):
+        import ray.data
+
+        r = _build_full_index(sf_dir)
+        return ray.data.read_parquet(r.docs_dir).select_columns(
+            ["docid", "url", "total_tokens", "doc_len"]
+        )
+
+    def index_term_df(sf_dir: str):
+        import ray.data
+
+        r = _build_full_index(sf_dir)
+        return ray.data.read_parquet(r.segments_dir).select_columns(["term", "df"])
+
+    def index_edges(sf_dir: str):
+        import ray.data
+
+        r = _build_full_index(sf_dir)
+        return ray.data.read_parquet(r.edges_dir)
+
+    def pagerank_scores(sf_dir: str):
+        import ray.data
+
+        r = _build_full_index(sf_dir)
+        return ray.data.read_parquet(r.docs_dir).select_columns(
+            ["docid", "pr_quality", "hub_quality", "auth_quality"]
+        )
+
+    def media_features(sf_dir: str):
+        return media.media_features(media.media_from_documents(sf_dir))
+
+    return {
+        # --- search-engine pipelines (SURVEY.md §2; oracle = pytest parity)
+        "index_docs": index_docs,
+        "index_term_df": index_term_df,
+        "index_edges": index_edges,
+        "pagerank_scores": pagerank_scores,
+        "search_topk": lambda sf: _search_topk(sf, "reference"),
+        "search_bm25_topk": lambda sf: _search_topk(sf, "bm25"),
+        # --- SQL-checked text/relational operators
+        "term_df": ops.term_df,
+        "postings": ops.postings_simple,
+        "top_terms": ops.top_terms,
+        "doc_stats": ops.doc_stats,
+        "language_id": ops.language_id,
+        "exact_dedup": ops.exact_dedup,
+        "events_hourly": ops.events_hourly,
+        "lineitem_agg": ops.lineitem_agg,
+        "orders_by_segment": ops.orders_by_segment,
+        "knn_cosine": ops.knn_cosine,
+        # --- dedup / similarity (deterministic, rows-only oracle)
+        "minhash_dedup": ops.minhash_dedup,
+        "simhash_dedup": ops.simhash_dedup,
+        "ngram_jaccard": ops.ngram_jaccard_pairs,
+        "embedding_neardup": ops.embedding_neardup,
+        "fingerprint": ops.fingerprint,
+        "media_features": media_features,
+    }
+
+
+# ------------------------------------------------------------- oracle SQL
+
+_TOKS = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents"
+)
+
+
+def _stop_list() -> str:
+    from searchengine_ray.pipelines.ops import SQL_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in SQL_STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stops = _stop_list()
+    return {
+        "term_df": (
+            f"SELECT term, count(DISTINCT doc_id) AS df FROM ({_TOKS}) GROUP BY term"
+        ),
+        "postings": (
+            f"SELECT term, doc_id, count(*) AS tf FROM ({_TOKS}) GROUP BY term, doc_id"
+        ),
+        "top_terms": (
+            f"SELECT term, CAST(sum(tf) AS BIGINT) AS total_tf FROM "
+            f"(SELECT term, doc_id, count(*) AS tf FROM ({_TOKS}) GROUP BY term, doc_id) "
+            f"GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 100"
+        ),
+        "doc_stats": (
+            "SELECT d.doc_id, COALESCE(t.n_tokens, 0) AS n_tokens, "
+            "COALESCE(t.n_unique, 0) AS n_unique, COALESCE(t.n_stop, 0) AS n_stop "
+            "FROM documents d LEFT JOIN ("
+            f"SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique, "
+            f"CAST(sum(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop "
+            f"FROM ({_TOKS}) GROUP BY doc_id) t ON d.doc_id = t.doc_id"
+        ),
+        "language_id": (
+            "SELECT d.doc_id, CASE WHEN COALESCE(t.n_tokens,0) > 0 AND "
+            "COALESCE(t.n_stop,0) * 20 >= t.n_tokens THEN 'en' ELSE 'other' END "
+            "AS pred_lang FROM documents d LEFT JOIN ("
+            f"SELECT doc_id, count(*) AS n_tokens, "
+            f"CAST(sum(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop "
+            f"FROM ({_TOKS}) GROUP BY doc_id) t ON d.doc_id = t.doc_id"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_dups "
+            "FROM documents GROUP BY text"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
+            "count(DISTINCT user_id) AS users FROM events GROUP BY 1, 2"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_segment": (
+            "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "knn_cosine": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])) AS sim FROM embeddings e CROSS JOIN q) "
+            "SELECT query_id, neighbor_id, rank FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s) "
+            "WHERE rank <= 10"
+        ),
+    }

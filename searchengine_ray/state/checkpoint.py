@@ -50,12 +50,18 @@ class StageCheckpoint:
         """Write ``ds`` (wiping any partial previous attempt), then commit
         the manifest.  Returns a fresh dataset reading the checkpoint (so
         downstream stages consume Parquet, not a re-executed lineage)."""
+        # write to a side dir first: ``ds`` may lazily read the current
+        # checkpoint (e.g. rewriting docs with link-graph scores)
+        staging = self.dir + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        os.makedirs(staging, exist_ok=True)
+        t0 = time.perf_counter()
+        ds.write_parquet(staging)
+        wall = time.perf_counter() - t0
         if os.path.exists(self.dir):
             shutil.rmtree(self.dir)
-        os.makedirs(self.dir, exist_ok=True)
-        t0 = time.perf_counter()
-        ds.write_parquet(self.dir)
-        wall = time.perf_counter() - t0
+        os.rename(staging, self.dir)
         self.commit(wall_s=wall, **stats)
         return self.read()
 
