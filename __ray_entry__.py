@@ -42,13 +42,13 @@ def _build_full_index(sf_dir: str):
 
     from searchengine_ray.pipelines import linkgraph
     from searchengine_ray.pipelines.build import build_index
-    from searchengine_ray.sources.pages import pages_from_documents
+    from searchengine_ray.sources.pages import pages_dataset_from_documents
     from searchengine_ray.state.checkpoint import StageCheckpoint
 
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     out_dir = os.path.join("/tmp", f"se_ray_index_{tag}")
     fresh = not os.path.exists(os.path.join(out_dir, "manifest.json"))
-    pages = ray.data.from_arrow(pages_from_documents(sf_dir))
+    pages = pages_dataset_from_documents(sf_dir)
     result = build_index(pages, out_dir)
     if fresh:
         docs = ray.data.read_parquet(result.docs_dir)

@@ -118,7 +118,7 @@ def top_terms(sf_dir: str, k: int = 100) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
-    return totals.sort([("total_tf", "descending"), ("term", "ascending")]).limit(k)
+    return totals.sort(["total_tf", "term"], descending=[True, False]).limit(k)
 
 
 def doc_stats(sf_dir: str) -> ray.data.Dataset:

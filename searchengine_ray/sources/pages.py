@@ -237,43 +237,73 @@ def synthesize_pages(n: int, seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
-def pages_from_documents(sf_dir: str) -> pa.Table:
-    """Adapt the driver's ``documents`` table into the pages shape.
-
-    Deterministic: url/warc_ts derive from doc_id; html wraps the document
-    text with a title, an emphasis span, and a doc_id-derived link graph.
-    Used by the flagship pipeline and bench so the engine runs over
-    /root/testdata inputs.
-    """
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    n = t.num_rows
+def _doc_rows_to_pages(
+    doc_ids, texts, langs, n_total: int, replica: int
+) -> list[dict]:
+    """Deterministic page synthesis from document rows: url/warc_ts derive
+    from the (replicated) id; html wraps the text with a title, an emphasis
+    span, and an id-derived link graph.  ``replica`` > 0 produces distinct
+    content (suffix token) and distinct urls so replicas aren't dedup-pruned."""
     rows = []
-    for doc_id, text, lang in zip(
-        t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
-    ):
-        words = text.split()
+    for doc_id, text, lang in zip(doc_ids, texts, langs):
+        gid = int(doc_id) + replica * n_total
+        body = text if replica == 0 else f"{text} replica{replica} r{replica}x{doc_id}"
+        words = body.split()
         title = " ".join(words[:3]) if words else "untitled"
         bold = words[3] if len(words) > 3 else ""
-        nlinks = doc_id % 4
+        nlinks = gid % 4
         links = "".join(
-            f'<a href="https://docs.example.org/d{(doc_id * 7 + j + 1) % n:08d}.html">l</a>'
+            f'<a href="https://docs.example.org/d{(gid * 7 + j + 1) % (n_total * (replica + 1)):08d}.html">l</a>'
             for j in range(nlinks)
         )
         html = (
             f"<html><head><title>{title}</title></head><body>"
-            f"<p>{text}</p><b>{bold}</b>{links}</body></html>"
+            f"<p>{body}</p><b>{bold}</b>{links}</body></html>"
         )
-        url = f"https://docs.example.org/d{doc_id:08d}.html"
-        content = html.strip()
+        url = f"https://docs.example.org/d{gid:08d}.html"
         rows.append(
             {
                 "url": url,
-                "warc_ts": _EPOCH + datetime.timedelta(seconds=int(doc_id)),
+                "warc_ts": _EPOCH + datetime.timedelta(seconds=gid),
                 "html": html.encode("utf-8"),
-                "text": htmlx.extract(content, url)[0],
+                "text": htmlx.extract(html.strip(), url)[0],
                 "lang": lang,
             }
         )
+    return rows
+
+
+def pages_from_documents(sf_dir: str) -> pa.Table:
+    """Driver-side variant (small sf only): documents → pages Arrow table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    rows = _doc_rows_to_pages(
+        t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist(),
+        t.num_rows, 0,
+    )
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def pages_dataset_from_documents(sf_dir: str, replicas: int = 1):
+    """Distributed pages synthesis: documents Dataset → pages Dataset with
+    ``replicas`` distinct copies (benchmark corpus scaling).  The html/text
+    synthesis (including the extractor call) runs inside ``map_batches`` —
+    no driver-side row loop."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    n_total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        rows: list[dict] = []
+        for rep in range(replicas):
+            rows.extend(_doc_rows_to_pages(ids, texts, langs, n_total, rep))
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(to_pages, batch_format="pyarrow")

@@ -1,0 +1,183 @@
+"""Training-data operator tests: DuckDB oracle parity for SQL-expressible
+ops (the driver's correctness gate, run here at sf0.001) and semantic
+checks for the rest."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+TABLES = ["documents", "embeddings", "events", "lineitem", "orders", "customer"]
+
+
+@pytest.fixture(scope="module")
+def entry(ray_session):
+    import __ray_entry__ as E
+
+    return E
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and not isinstance(df[c].iloc[0], str):
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(x):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(x, ray.data.Dataset):
+        return x.to_pandas()
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    return x
+
+
+SQL_CHECKED = [
+    "term_df",
+    "postings",
+    "top_terms",
+    "doc_stats",
+    "language_id",
+    "exact_dedup",
+    "events_hourly",
+    "lineitem_agg",
+    "orders_by_segment",
+    "knn_cosine",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_parity(entry, con, name):
+    got = _canon(_to_pandas(entry.queries()[name](SF)))
+    want = _canon(con.execute(entry.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_every_oracle_key_has_query(entry):
+    qs = entry.queries()
+    for name in entry.oracle_sql():
+        assert name in qs, name
+
+
+def test_minhash_dedup_finds_planted_dup(entry, ray_session, tmp_path):
+    """Plant an exact duplicate pair in a copy of documents; MinHash-LSH
+    must prune the higher doc_id of the pair."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    rows = t.to_pylist()
+    dup = dict(rows[3])
+    dup["doc_id"] = 100000
+    rows.append(dup)
+    import pyarrow as pa
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), d / "documents.parquet")
+
+    from searchengine_ray.pipelines import ops
+
+    pruned = {r["doc_id"]: r["kept_by"] for r in ops.minhash_dedup(str(d)).take_all()}
+    assert pruned.get(100000) == rows[3]["doc_id"]
+
+
+def test_embedding_neardup_finds_planted_dup(entry, ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    rows = t.to_pylist()
+    dup = dict(rows[7])
+    dup["vec_id"] = 200000
+    rows.append(dup)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), d / "embeddings.parquet")
+
+    from searchengine_ray.pipelines import ops
+
+    pruned = {
+        r["vec_id"]: r["kept_by"] for r in ops.embedding_neardup(str(d)).take_all()
+    }
+    assert pruned.get(200000) == rows[7]["vec_id"]
+
+
+def test_knn_self_is_top1(entry, ray_session):
+    from searchengine_ray.pipelines import ops
+
+    rows = ops.knn_cosine(SF, k=3).take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    for q, ranks in by_q.items():
+        assert ranks[1] == q  # self-similarity = 1.0
+
+
+def test_media_features_deterministic(entry, ray_session):
+    from searchengine_ray.stages import media
+
+    a = media.media_features(media.media_from_documents(SF)).take(5)
+    b = media.media_features(media.media_from_documents(SF)).take(5)
+    assert [r["feature"] for r in a] == [r["feature"] for r in b]
+    assert all(len(r["feature"]) == media.FEATURE_DIM for r in a)
+    assert all(r["n_bytes"] > 0 for r in a)
+
+
+def test_media_real_decode_raises():
+    from searchengine_ray.stages import media
+
+    with pytest.raises(NotImplementedError):
+        media.DecodeMedia(fake=False)._decode_real(b"x", "image")
+
+
+def test_fingerprint_shift_invariance(entry, ray_session, tmp_path):
+    """Winnowing property: fingerprints of a doc are stable under a prefix
+    shift (most selected hashes survive)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    base = t["text"][0].as_py()
+    rows = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s", "n_chars": len(base)},
+        {
+            "doc_id": 2,
+            "text": "prefix words here " + base,
+            "lang": "en",
+            "source": "s",
+            "n_chars": len(base) + 18,
+        },
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), d / "documents.parquet")
+
+    from searchengine_ray.pipelines import ops
+
+    out = {r["doc_id"]: r for r in ops.fingerprint(str(d)).take_all()}
+    assert out[1]["n_fp"] > 0
+    # shared suffix ⇒ overlapping fingerprint ranges
+    assert out[1]["min_fp"] <= out[2]["max_fp"]
