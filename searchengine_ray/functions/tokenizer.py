@@ -49,6 +49,15 @@ def tokenize(text: str) -> list[str]:
     return [m.group(0).lower().strip() for m in _TOKEN_RE.finditer(text)]
 
 
+def ngrams(tokens: list[str], n: int) -> list[str]:
+    """Space-joined n-grams over the token sequence (``lib/tokenize.py``'s
+    n-gram builder; every reference call site passes n=1 so this is unused
+    in practice — SURVEY.md §2.2 M6 — but kept for surface parity)."""
+    if n <= 1:
+        return list(tokens)
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
 def stem_tokens(tokens: list[str], stemmer: CachedStemmer | None = None) -> list[str]:
     """Porter-stem a token list (``lib/tokenize.py:57-62``)."""
     st = stemmer or _DEFAULT_STEMMER

@@ -89,6 +89,10 @@ class BuildConfig:
     hot_term_salts: int = 32
     # segments are hash-partitioned into this many term buckets.
     num_term_buckets: int = 16
+    # when a join's small side has fewer rows than this, use a broadcast
+    # ray.put lookup inside map_batches instead of a hash-shuffle join
+    # (SURVEY.md §4 "broadcast small sides"); above it, the join path runs.
+    broadcast_threshold: int = 2_000_000
     # batch sizes
     extract_batch_size: int = 64
     tokenize_batch_size: int = 256

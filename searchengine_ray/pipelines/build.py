@@ -99,12 +99,13 @@ def build_index(
     done = _load_manifest(out_dir)
     if done is not None:
         return done
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     if join_partitions is None:
         # each hash-join aggregator actor reserves 0.125 CPU; cap the pool at
         # half the cluster so map/actor stages are never starved (a 32-actor
         # join on a 4-CPU test cluster deadlocks the extract pool)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
         join_partitions = max(2, min(64, cpus * 2))
+    extract_concurrency = cfg.extract_concurrency or (2, max(2, cpus))
     os.makedirs(out_dir, exist_ok=True)
     wall: dict[str, float] = {}
 
@@ -137,19 +138,56 @@ def build_index(
         pruned_url = num_rows - pruned_empty - d1_count
         pruned_exact = d1_count - num_surv
 
-        with_html = pages.select_columns(["url", "warc_ts", "html"]).join(
-            survivors.select_columns(["url", "warc_ts", "docid", "defrag_url"]),
-            join_type="inner",
-            num_partitions=join_partitions,
-            on=("url", "warc_ts"),
-        )
+        if num_surv <= cfg.broadcast_threshold:
+            # broadcast path: survivor key set is small — ship the
+            # (url, warc_ts) → (docid, defrag_url) map once via ray.put and
+            # attach ids in a single streaming pass (html never shuffled)
+            key_rows = survivors.select_columns(
+                ["url", "warc_ts", "docid", "defrag_url"]
+            ).take_all()
+            lut = {
+                (r["url"], r["warc_ts"]): (r["docid"], r["defrag_url"])
+                for r in key_rows
+            }
+            lut_ref = ray.put(lut)
 
-        ex = with_html.select_columns(["docid", "defrag_url", "html"]).map_batches(
+            def attach_ids(batch: pa.Table) -> pa.Table:
+                lk = ray.get(lut_ref)
+                urls = batch["url"].to_pylist()
+                ts = batch["warc_ts"].to_pylist()
+                keep, ids, dfr = [], [], []
+                for i, (u, t) in enumerate(zip(urls, ts)):
+                    v = lk.get((u, t))
+                    if v is not None:
+                        keep.append(i)
+                        ids.append(v[0])
+                        dfr.append(v[1])
+                sub = batch.select(["html"]).take(pa.array(keep, pa.int64()))
+                return pa.table(
+                    {
+                        "docid": pa.array(ids, pa.int64()),
+                        "defrag_url": pa.array(dfr, pa.string()),
+                        "html": sub["html"],
+                    }
+                )
+
+            with_html = pages.select_columns(["url", "warc_ts", "html"]).map_batches(
+                attach_ids, batch_format="pyarrow"
+            )
+        else:
+            with_html = pages.select_columns(["url", "warc_ts", "html"]).join(
+                survivors.select_columns(["url", "warc_ts", "docid", "defrag_url"]),
+                join_type="inner",
+                num_partitions=join_partitions,
+                on=("url", "warc_ts"),
+            ).select_columns(["docid", "defrag_url", "html"])
+
+        ex = with_html.map_batches(
             ExtractBatch,
             fn_constructor_kwargs={"importance_bug": cfg.importance_bug},
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
-            concurrency=cfg.extract_concurrency or (1, 16),
+            concurrency=extract_concurrency,
         )
         extracted = ck_extracted.write(
             ex,
@@ -214,29 +252,55 @@ def build_index(
     if cfg.keep_text and not ck_texts.is_complete():
         ck_texts.write(survivors_ex.select_columns(["docid", "url", "text"]))
 
-    num_docs = docs.count()
-    last_docid = docs.max("docid") if num_docs else 0
-    avgdl = (docs.mean("doc_len") or 0.0) if num_docs else 0.0
+    from ray.data.aggregate import Count, Max, Mean
+
+    stats = docs.aggregate(Count(), Max("docid"), Mean("doc_len"))
+    num_docs = stats["count()"] or 0
+    last_docid = int(stats["max(docid)"] or 0)
+    avgdl = float(stats["mean(doc_len)"] or 0.0)
     wall["docs"] = time.perf_counter() - t0
 
     # ---- 7b: edges (url→docid resolution, J1) --------------------------
     t0 = time.perf_counter()
     ck_edges = StageCheckpoint(out_dir, "edges")
-    if ck_edges.is_complete():
-        pass
-    else:
+    if not ck_edges.is_complete():
         raw_edges = survivors_ex.map_batches(explode_links, batch_format="pyarrow")
-        resolved = raw_edges.join(
-            docs.select_columns(["url", "docid"]),
-            join_type="inner",
-            num_partitions=join_partitions,
-            on=("dst_url",),
-            right_on=("url",),
-        )
-        edges = resolved.map_batches(
-            lambda t: pa.table({"src": t["src"], "dst": t["docid"]}),
-            batch_format="pyarrow",
-        )
+        if num_docs <= cfg.broadcast_threshold:
+            # broadcast url→docid resolution (J1 as a map-side lookup)
+            url_rows = docs.select_columns(["url", "docid"]).take_all()
+            url_lut = {r["url"]: r["docid"] for r in url_rows}
+            url_ref = ray.put(url_lut)
+
+            def resolve(batch: pa.Table) -> pa.Table:
+                lk = ray.get(url_ref)
+                srcs, dsts = [], []
+                for s, u in zip(
+                    batch["src"].to_pylist(), batch["dst_url"].to_pylist()
+                ):
+                    d = lk.get(u)
+                    if d is not None:
+                        srcs.append(s)
+                        dsts.append(d)
+                return pa.table(
+                    {
+                        "src": pa.array(srcs, pa.int64()),
+                        "dst": pa.array(dsts, pa.int64()),
+                    }
+                )
+
+            edges = raw_edges.map_batches(resolve, batch_format="pyarrow")
+        else:
+            resolved = raw_edges.join(
+                docs.select_columns(["url", "docid"]),
+                join_type="inner",
+                num_partitions=join_partitions,
+                on=("dst_url",),
+                right_on=("url",),
+            )
+            edges = resolved.map_batches(
+                lambda t: pa.table({"src": t["src"], "dst": t["docid"]}),
+                batch_format="pyarrow",
+            )
         ck_edges.write(edges)
     wall["edges"] = time.perf_counter() - t0
 

