@@ -123,33 +123,70 @@ def build_index(
         keys = pages.map_batches(page_keys, batch_format="pyarrow")
         keys = keys.sort(["defrag_url", "url", "warc_ts"])
         keys = zip_with_index(keys, "docid")  # materializes the key table
+        wall["keys_sort"] = time.perf_counter() - t0
 
+        t1 = time.perf_counter()
         num_rows = keys.count()
-        pruned_empty = keys.filter(expr="empty == True").count()
-        survivors = dedup.dedup_url_exact(keys).materialize()
-        num_surv = survivors.count()
-        # D1 survivor count (for the pruned_url/exact split)
-        d1_count = (
-            keys.filter(expr="empty == False")
-            .groupby("defrag_url")
-            .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-            .count()
-        )
-        pruned_url = num_rows - pruned_empty - d1_count
-        pruned_exact = d1_count - num_surv
+        broadcast = num_rows <= cfg.broadcast_threshold
+        if broadcast:
+            # driver path: the key table is small enough to broadcast anyway,
+            # so D1/D2 run vectorized on the driver straight from the Arrow
+            # refs (no groupby shuffles, no per-group Python)
+            import numpy as np
 
-        if num_surv <= cfg.broadcast_threshold:
-            # broadcast path: survivor key set is small — ship the
-            # (url, warc_ts) → (docid, defrag_url) map once via ray.put and
-            # attach ids in a single streaming pass (html never shuffled)
-            key_rows = survivors.select_columns(
-                ["url", "warc_ts", "docid", "defrag_url"]
-            ).take_all()
+            kt = pa.concat_tables(ray.get(keys.materialize().to_arrow_refs()))
+            # keys are canonically sorted: equal defrag_urls are contiguous
+            # and docid-ascending, so D1 = first non-empty row per group
+            empty = kt["empty"].to_numpy(zero_copy_only=False)
+            pruned_empty = int(empty.sum())
+            nz = np.flatnonzero(~empty)
+            dfr_all = np.asarray(kt["defrag_url"].to_pylist(), dtype=object)[nz]
+            first_of_group = np.ones(nz.size, dtype=bool)
+            first_of_group[1:] = dfr_all[1:] != dfr_all[:-1]
+            d1_idx = nz[first_of_group]
+            pruned_url = int(nz.size - d1_idx.size)
+            # D2: global first-wins (min docid) per exact_hash among D1 rows
+            docids_np = kt["docid"].to_numpy()
+            order = np.argsort(docids_np[d1_idx], kind="stable")
+            d1_sorted = d1_idx[order]
+            hashes = kt["exact_hash"].to_pylist()
+            seen: set[bytes] = set()
+            surv_idx = []
+            for i in d1_sorted:
+                h = hashes[i]
+                if h not in seen:
+                    seen.add(h)
+                    surv_idx.append(i)
+            pruned_exact = int(d1_idx.size - len(surv_idx))
+            num_surv = len(surv_idx)
+            sv = kt.take(pa.array(surv_idx, pa.int64()))
             lut = {
-                (r["url"], r["warc_ts"]): (r["docid"], r["defrag_url"])
-                for r in key_rows
+                (u, t): (d, f)
+                for u, t, d, f in zip(
+                    sv["url"].to_pylist(),
+                    sv["warc_ts"].to_pylist(),
+                    sv["docid"].to_pylist(),
+                    sv["defrag_url"].to_pylist(),
+                )
             }
             lut_ref = ray.put(lut)
+        else:
+            pruned_empty = keys.filter(expr="empty == True").count()
+            survivors = dedup.dedup_url_exact(keys).materialize()
+            num_surv = survivors.count()
+            # D1 survivor count (for the pruned_url/exact split)
+            d1_count = (
+                keys.filter(expr="empty == False")
+                .groupby("defrag_url")
+                .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+                .count()
+            )
+            pruned_url = num_rows - pruned_empty - d1_count
+            pruned_exact = d1_count - num_surv
+        wall["dedup"] = time.perf_counter() - t1
+        t1 = time.perf_counter()
+
+        if broadcast:
 
             def attach_ids(batch: pa.Table) -> pa.Table:
                 lk = ray.get(lut_ref)
@@ -196,6 +233,7 @@ def build_index(
             pruned_url=pruned_url,
             pruned_exact=pruned_exact,
         )
+        wall["extract_actors"] = time.perf_counter() - t1
     wall["extract"] = time.perf_counter() - t0
 
     # ---- 6: near-dup (D3) ----------------------------------------------
@@ -220,6 +258,9 @@ def build_index(
         survivors_ex = extracted.map_batches(drop_pruned, batch_format="pyarrow")
     else:
         survivors_ex = extracted
+    # four consumers follow (docs, texts, edges, postings): pin the blocks in
+    # the object store once instead of re-reading the checkpoint per consumer
+    survivors_ex = survivors_ex.materialize()
     wall["neardup"] = time.perf_counter() - t0
 
     # ---- 7a: docs + texts ----------------------------------------------

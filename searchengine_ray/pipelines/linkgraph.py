@@ -35,6 +35,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -211,6 +212,133 @@ def hits_dataset(
             break
         hub, auth = new_hub, new_auth
     return hub, auth
+
+
+def _cluster_join_partitions() -> int:
+    import ray as _r
+
+    cpus = int(_r.cluster_resources().get("CPU", 8))
+    return max(2, min(64, cpus * 2))
+
+
+def pagerank_dataset_join(
+    edges: ray.data.Dataset,
+    accepted_docids: ray.data.Dataset,
+    last_docid: int,
+    max_iter: int = params.PR_MAX_ITER,
+    tol: float = params.PR_TOL,
+    damping: float = params.PR_DAMPING,
+) -> ray.data.Dataset:
+    """Fully dataset-native PageRank: the rank table is a Dataset joined
+    against the edges each round — no dense driver-side vector, so this is
+    the 10^12-doc path (the broadcast variant above caps at vector-in-memory
+    scale).  ``accepted_docids`` is a Dataset with column ``docid``.
+
+    Per round: edges(src,dst,outdeg) ⨝ ranks(on src) → contribution
+    rank/outdeg keyed by dst → groupby(dst).sum → left-join back onto the
+    doc universe (no-in-link docs take the (1-d) base) → convergence =
+    max |Δ| via a join of old and new ranks.  Gap docids (non-accepted)
+    contribute nothing and converge after round 1; their analytic delta is
+    folded into the convergence test like the local mode.
+    """
+    nparts = _cluster_join_partitions()
+    n = last_docid
+    if n == 0:
+        return accepted_docids
+
+    outdeg = edges.groupby("src").count().map_batches(
+        lambda t: pa.table({"src": t["src"], "outdeg": t["count()"]}),
+        batch_format="pyarrow",
+    )
+    edges_od = edges.join(
+        outdeg, join_type="inner", num_partitions=nparts, on=("src",)
+    ).materialize()
+
+    init = 1.0 / n
+    ranks = accepted_docids.map_batches(
+        lambda t: pa.table(
+            {"docid": t["docid"], "rank": pa.array([init] * t.num_rows, pa.float64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    num_accepted = ranks.count()
+    gap_docs = n - num_accepted
+
+    for it in range(max_iter):
+        joined = edges_od.join(
+            ranks, join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("docid",),
+        )
+        contrib = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "dst": t["dst"],
+                    "val": pc.divide(
+                        pc.cast(t["rank"], pa.float64()),
+                        pc.cast(t["outdeg"], pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = contrib.groupby("dst").sum("val")
+        new_ranks = (
+            ranks.select_columns(["docid"])
+            .join(
+                sums,
+                join_type="left_outer",
+                num_partitions=nparts,
+                on=("docid",),
+                right_on=("dst",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "docid": t["docid"],
+                        "rank": pc.add(
+                            pa.scalar(1.0 - damping),
+                            pc.multiply(
+                                pa.scalar(damping),
+                                pc.coalesce(
+                                    pc.cast(t["sum(val)"], pa.float64()),
+                                    pa.scalar(0.0),
+                                ),
+                            ),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        both = ranks.join(
+            new_ranks,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("docid",),
+            left_suffix="_old",
+            right_suffix="_new",
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "delta": pc.abs(
+                        pc.subtract(
+                            pc.cast(t["rank_new"], pa.float64()),
+                            pc.cast(t["rank_old"], pa.float64()),
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        max_delta = both.max("delta") or 0.0
+        # gap docids: init 1/n → (1-d) after round 1, 0 afterwards
+        if gap_docs > 0 and it == 0:
+            max_delta = max(max_delta, abs((1.0 - damping) - init))
+        if max_delta < tol:
+            break  # reference breaks BEFORE adopting
+        ranks = new_ranks
+    return ranks
 
 
 def compute_quality(

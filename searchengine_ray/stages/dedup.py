@@ -29,7 +29,7 @@ modes (SURVEY.md §2.7 D3):
 
 from __future__ import annotations
 
-from collections import deque
+
 
 import numpy as np
 import pyarrow as pa
@@ -76,27 +76,31 @@ def window_prune(
     with a popcount table (window ≤ 200 ⇒ O(200) per doc, numpy inner loop).
     """
     pruned: set[int] = set()
-    window: deque[int] = deque()
+    # circular FIFO buffer (order within the window doesn't affect the
+    # any-match predicate, so eviction = overwrite oldest slot)
     buf = np.empty(window_size, dtype=np.uint32)
+    size = 0
+    pos = 0
     for docid, sim in zip(docids, simhashes):
-        n = len(window)
-        if n:
-            buf[:n] = window
-            if hashing.hamming32_vec(buf[:n], int(sim)).min() <= max_hamming:
-                pruned.add(int(docid))
-                continue
-        window.append(int(sim))
-        if len(window) > window_size:
-            window.popleft()
+        if size and hashing.hamming32_vec(buf[:size], int(sim)).min() <= max_hamming:
+            pruned.add(int(docid))
+            continue
+        buf[pos] = sim
+        pos = (pos + 1) % window_size
+        size = min(size + 1, window_size)
     return pruned
 
 
 def simhash_prune_window(extracted: ray.data.Dataset) -> set[int]:
-    """Parity-mode D3 over the extracted survivors: pull (docid, simhash),
-    scan serially in docid order, return pruned docids."""
-    t = pa.Table.from_pylist(
-        extracted.select_columns(["docid", "simhash"]).take_all()
+    """Parity-mode D3 over the extracted survivors: pull (docid, simhash)
+    via zero-copy Arrow refs, scan serially in docid order, return pruned
+    docids."""
+    import ray as _ray
+
+    refs = (
+        extracted.select_columns(["docid", "simhash"]).materialize().to_arrow_refs()
     )
+    t = pa.concat_tables(_ray.get(refs))
     if t.num_rows == 0:
         return set()
     order = pc.sort_indices(t, sort_keys=[("docid", "ascending")])

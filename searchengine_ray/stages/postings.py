@@ -130,6 +130,57 @@ def _crc_bucket(term: str, num_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
+class _ShardEncode:
+    """Encode ALL terms of one hash shard in a single vectorized pass:
+    sort by (term, docid), slice per term via unique boundaries, varbyte
+    each slice, emit one output table for the whole shard."""
+
+    def __init__(self, avgdl: float, block_size: int, num_buckets: int) -> None:
+        self.avgdl = avgdl
+        self.block_size = block_size
+        self.num_buckets = num_buckets
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import zlib
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("term", "ascending"), ("docid", "ascending")]
+        )
+        g = group.take(idx)
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        docids = g["docid"].to_numpy()
+        tfs = g["tf"].to_numpy()
+        imps = g["important"].to_numpy().astype(np.uint8)
+        dls = g["doc_len"].to_numpy()
+        bounds_all = bm25_tf_bound(tfs, dls, self.avgdl)
+
+        # term boundaries in the sorted order
+        change = np.ones(len(terms), dtype=bool)
+        if len(terms) > 1:
+            change[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(terms))
+
+        out = {
+            "term": [], "df": [], "docids_vb": [], "tfs_vb": [], "fields": [],
+            "block_last": [], "block_bound": [], "bucket": [],
+        }
+        for s, e in zip(starts, ends):
+            d = docids[s:e]
+            dvb, tvb = varbyte.encode_postings(d, tfs[s:e])
+            blast, bbound = varbyte.block_max(d, bounds_all[s:e], self.block_size)
+            t = terms[s]
+            out["term"].append(t)
+            out["df"].append(e - s)
+            out["docids_vb"].append(dvb)
+            out["tfs_vb"].append(tvb)
+            out["fields"].append(imps[s:e].tobytes())
+            out["block_last"].append(blast.tolist())
+            out["block_bound"].append(bbound.tolist())
+            out["bucket"].append(zlib.crc32(t.encode("utf-8")) % self.num_buckets)
+        return pa.Table.from_pydict(out, schema=SEGMENT_SCHEMA)
+
+
 class _MergeRuns:
     """Second-phase reducer for salted hot terms: decode ≤S runs, concat,
     re-encode.  Runs are docid-disjoint ranges so concatenation in
@@ -200,11 +251,33 @@ def build_segments(
     """(term, docid, tf, important, doc_len) → encoded segments dataset."""
     encode = _EncodeGroup(avgdl, block_size, num_buckets)
 
-    def encode_group(group: pa.Table) -> pa.Table:
-        return encode(group)
-
     if not hot_terms:
-        return postings.groupby("term").map_groups(encode_group, batch_format="pyarrow")
+        # shard-level reduce: hash-partition terms into ~2×CPU shards and
+        # encode each shard's terms in one vectorized pass — ONE Python call per
+        # shard instead of one per term (10^4-10^6 term groups otherwise)
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        num_shards = max(num_buckets, cpus * 2)
+        shard_encode = _ShardEncode(avgdl, block_size, num_buckets)
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            import zlib
+
+            shards = [
+                zlib.crc32(t.encode("utf-8")) % num_shards
+                for t in batch["term"].to_pylist()
+            ]
+            return batch.append_column("shard", pa.array(shards, pa.int32()))
+
+        def encode_shard(group: pa.Table) -> pa.Table:
+            return shard_encode(group)
+
+        return (
+            postings.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(encode_shard, batch_format="pyarrow")
+        )
 
     hot_list = sorted(hot_terms)
     range_size = max(1, -(-max_docid // num_salts))  # ceil
