@@ -45,7 +45,13 @@ def _build_full_index(sf_dir: str):
     from searchengine_ray.sources.pages import pages_dataset_from_documents
     from searchengine_ray.state.checkpoint import StageCheckpoint
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    import searchengine_ray
+
+    # version-salted so a /tmp index from an older engine build never leaks
+    # into a newer run's results
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:{searchengine_ray.__version__}".encode()
+    ).hexdigest()[:10]
     out_dir = os.path.join("/tmp", f"se_ray_index_{tag}")
     fresh = not os.path.exists(os.path.join(out_dir, "manifest.json"))
     pages = pages_dataset_from_documents(sf_dir)

@@ -93,10 +93,13 @@ class BuildConfig:
     # ray.put lookup inside map_batches instead of a hash-shuffle join
     # (SURVEY.md §4 "broadcast small sides"); above it, the join path runs.
     broadcast_threshold: int = 2_000_000
-    # batch sizes
-    extract_batch_size: int = 64
+    # batch sizes (html batches: size × bytes/page must fit worker heaps;
+    # 256 × ~100KB webtext pages ≈ 25MB/batch)
+    extract_batch_size: int = 256
     tokenize_batch_size: int = 256
-    # actor-pool sizes (None = stateless tasks sized by Ray)
-    extract_concurrency: int | None = None
+    # extract execution: None (default) = task pool with per-worker-process
+    # cached state (fastest, no actor cold-start); an int or (min, max)
+    # tuple = actor pool of that size
+    extract_concurrency: int | tuple | None = None
     # output partitioning: docid-range size per output partition (resume unit)
     partition_size: int = 100_000

@@ -41,6 +41,7 @@ from searchengine_ray.stages.extract import (
     ExtractBatch,
     explode_links,
     explode_postings,
+    extract_batch_task,
     page_keys,
 )
 from searchengine_ray.state.checkpoint import StageCheckpoint
@@ -105,7 +106,6 @@ def build_index(
         # half the cluster so map/actor stages are never starved (a 32-actor
         # join on a 4-CPU test cluster deadlocks the extract pool)
         join_partitions = max(2, min(64, cpus * 2))
-    extract_concurrency = cfg.extract_concurrency or (2, max(2, cpus))
     os.makedirs(out_dir, exist_ok=True)
     wall: dict[str, float] = {}
 
@@ -219,13 +219,27 @@ def build_index(
                 on=("url", "warc_ts"),
             ).select_columns(["docid", "defrag_url", "html"])
 
-        ex = with_html.map_batches(
-            ExtractBatch,
-            fn_constructor_kwargs={"importance_bug": cfg.importance_bug},
-            batch_format="pyarrow",
-            batch_size=cfg.extract_batch_size,
-            concurrency=extract_concurrency,
-        )
+        if cfg.extract_concurrency:
+            ex = with_html.map_batches(
+                ExtractBatch,
+                fn_constructor_kwargs={"importance_bug": cfg.importance_bug},
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+                concurrency=cfg.extract_concurrency,
+            )
+        else:
+            # default: task pool with per-worker-process cached state (see
+            # extract_batch_task) — same warm-state semantics, no actor
+            # cold start
+            import functools
+
+            ex = with_html.map_batches(
+                functools.partial(
+                    extract_batch_task, importance_bug=cfg.importance_bug
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+            )
         extracted = ck_extracted.write(
             ex,
             num_rows=num_rows,

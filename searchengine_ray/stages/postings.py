@@ -258,16 +258,29 @@ def build_segments(
         import ray as _ray
 
         cpus = int(_ray.cluster_resources().get("CPU", 8))
-        num_shards = max(num_buckets, cpus * 2)
+        # a multiple of num_buckets so shard % num_buckets == bucket: every
+        # encoded shard block lands in exactly ONE bucket dir of the
+        # partitioned write (otherwise shards × buckets small files)
+        num_shards = num_buckets * max(1, round(cpus * 2 / num_buckets))
         shard_encode = _ShardEncode(avgdl, block_size, num_buckets)
 
         def add_shard(batch: pa.Table) -> pa.Table:
             import zlib
 
-            shards = [
-                zlib.crc32(t.encode("utf-8")) % num_shards
-                for t in batch["term"].to_pylist()
-            ]
+            # crc only the batch-unique terms (Zipfian repeats), then
+            # scatter via dictionary indices — no per-row Python hash
+            col = batch["term"]
+            dic = pc.dictionary_encode(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+            uniq_shards = np.array(
+                [
+                    zlib.crc32(t.encode("utf-8")) % num_shards
+                    for t in dic.dictionary.to_pylist()
+                ],
+                dtype=np.int32,
+            )
+            shards = uniq_shards[dic.indices.to_numpy()]
             return batch.append_column("shard", pa.array(shards, pa.int32()))
 
         def encode_shard(group: pa.Table) -> pa.Table:
