@@ -53,16 +53,18 @@ def _build_full_index(sf_dir: str):
         f"{os.path.abspath(sf_dir)}:{searchengine_ray.__version__}".encode()
     ).hexdigest()[:10]
     out_dir = os.path.join("/tmp", f"se_ray_index_{tag}")
-    fresh = not os.path.exists(os.path.join(out_dir, "manifest.json"))
     pages = pages_dataset_from_documents(sf_dir)
     result = build_index(pages, out_dir)
-    if fresh:
+    quality_marker = os.path.join(out_dir, "_quality_done")
+    if not os.path.exists(quality_marker):
         docs = ray.data.read_parquet(result.docs_dir)
         edges = ray.data.read_parquet(result.edges_dir)
         updated = linkgraph.compute_quality(
             edges, docs, result.last_docid, method="local"
         )
         StageCheckpoint(out_dir, "docs").write(updated)
+        with open(quality_marker, "w") as f:
+            f.write("ok")
     _INDEX_CACHE[sf_dir] = result
     return result
 

@@ -150,8 +150,16 @@ def run_scaling(sf_dir: str, replicas: int, low: int = 8, high: int = 32) -> dic
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(
+                f"scaling subprocess (cpus={cpus}) produced no JSON; "
+                f"rc={out.returncode}\nstderr tail:\n"
+                + "\n".join(out.stderr.strip().splitlines()[-25:])
+                + "\n"
+            )
+            sys.exit(1)
+        results[cpus] = json.loads(lines[-1])
     tl, th = results[low]["value"], results[high]["value"]
     eff = (tl / th) / (high / low)
     return {

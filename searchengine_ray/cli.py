@@ -110,6 +110,29 @@ def cmd_summarize(args) -> None:
     print("summaries written")
 
 
+def cmd_stats(args) -> None:
+    """Doc/term counts sanity tool (reference ``print_result.py:12-35``)."""
+    import json
+    import os
+
+    path = os.path.join(args.out, "manifest.json")
+    if not os.path.exists(path):
+        sys.exit(f"no completed index at {args.out}")
+    with open(path) as f:
+        m = json.load(f)
+    print(f"total input rows : {m['num_rows']}")
+    print(f"indexed documents: {m['num_docs']} (last docid {m['last_docid']})")
+    print(f"distinct terms   : {m['num_terms']}")
+    print(
+        "pruned           : "
+        f"{m['pruned_empty']} empty, {m['pruned_url']} url-dup, "
+        f"{m['pruned_exact']} exact-dup, {m['pruned_neardup']} near-dup"
+    )
+    print(f"avg doc length   : {m['avgdl']:.1f} tokens")
+    for stage, secs in m.get("wall_s", {}).items():
+        print(f"  wall {stage:<16s} {secs:.2f}s")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="searchengine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -134,6 +157,10 @@ def main(argv=None) -> None:
     su = sub.add_parser("summarize")
     su.add_argument("-o", "--out", required=True)
     su.set_defaults(fn=cmd_summarize)
+
+    st = sub.add_parser("stats")
+    st.add_argument("-o", "--out", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -304,6 +304,8 @@ def pages_dataset_from_documents(sf_dir: str, replicas: int = 1):
             rows.extend(_doc_rows_to_pages(ids, texts, langs, n_total, rep))
         return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
+    # cap the input batch so the ×replicas expansion stays a modest block
+    # (256 docs × replicas rows out per call)
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).map_batches(to_pages, batch_format="pyarrow")
+    ).map_batches(to_pages, batch_format="pyarrow", batch_size=256)
