@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": ops.language_id,
         "exact_dedup": ops.exact_dedup,
         "events_hourly": ops.events_hourly,
+        "events_sessionize": ops.events_sessionize,
         "lineitem_agg": ops.lineitem_agg,
         "orders_by_segment": ops.orders_by_segment,
         "knn_cosine": ops.knn_cosine,
@@ -213,6 +214,18 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": (
             "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n, "
             "count(DISTINCT user_id) AS users FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH ordered AS (SELECT user_id, ts, event_id, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events), flagged AS (SELECT user_id, "
+            "CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS brk, ts, event_id FROM ordered), "
+            "sess AS (SELECT user_id, CAST(sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+            "FROM flagged) "
+            "SELECT user_id, session_id, count(*) AS n_events FROM sess "
+            "GROUP BY user_id, session_id"
         ),
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "

@@ -589,6 +589,45 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby(["event_type", "hour"]).map_groups(agg, batch_format="pyarrow")
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Gap-based sessionization — the stateful windowed operator Ray Data
+    lacks natively, expressed as groupby(user).map_groups with an in-group
+    sort (SURVEY.md custom-operator recipe (a)).  A session breaks when the
+    gap to the previous event exceeds ``gap_minutes``.  Returns one row per
+    session: (user_id, session_id (1-based per user), n_events) — ints only
+    so the DuckDB window-function oracle compares exactly.
+
+    Partitioning assumption: one user's events fit one group (true unless a
+    single user exceeds block scale; salt by day then merge if so).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        breaks = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            breaks[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        sess = np.cumsum(breaks)
+        uniq, counts = np.unique(sess, return_counts=True)
+        user = g["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([user] * len(uniq), pa.int64()),
+                "session_id": pa.array(uniq, pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
 def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-shaped groupby aggregate (counts kept integral for exact
     oracle comparison)."""

@@ -54,6 +54,7 @@ def _to_pandas(x):
 
 
 SQL_CHECKED = [
+    "events_sessionize",
     "term_df",
     "postings",
     "top_terms",
