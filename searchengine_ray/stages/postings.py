@@ -1,33 +1,42 @@
 """Posting-list construction: THE wide shuffle (SURVEY.md §2.5 A1, §4).
 
-``(term, docid, tf, important, doc_len)`` tuples are groupby-shuffled by
-term and reduced into compressed posting lists:
+``(term, docid, tf, important, doc_len)`` tuples are groupby-shuffled and
+reduced into compressed posting lists:
 
     term, df, docids_vb (delta+varbyte), tfs_vb (varbyte),
     fields (1 byte/posting), block_last (list<int64>),
     block_bound (list<float32>), bucket (hash partition)
 
-Skew handling (north_rule): Zipfian head terms produce posting lists far
-larger than a single reducer should hold.  Terms whose estimated df exceeds
-``cfg.hot_term_df_threshold`` are *salted* by docid range —
-``salt = docid // ceil(max_docid/S)`` — so each hot term becomes ≤S
-moderate groups whose postings are disjoint, docid-ordered runs.  A second,
-cheap groupby over the (already encoded, compressed) runs concatenates them
-back into one list per term.  Cold terms take salt 0 and pass through the
-merge trivially.
+**Shard-level reduction.**  A naive ``groupby("term").map_groups`` pays one
+Python call per term (10^6+ term groups at web scale).  Instead terms are
+hash-partitioned into ~2×CPU *shards* aligned to the output buckets
+(``shard % num_buckets == bucket`` so each encoded block lands in exactly
+one bucket dir), and each shard's terms are encoded in ONE vectorized pass
+(sort by (term, docid), slice at term boundaries).
 
-Hot-term detection samples a fraction of the postings stream and scales the
-observed counts (a first-pass exact ``groupby(term).count()`` would itself
-be the shuffle we're trying to protect).
+**Skew handling** (north_rule).  Zipfian head terms produce posting lists
+far larger than one reducer should hold.  Terms whose *sampled* df exceeds
+``hot_term_df_threshold`` are salted by docid range —
+``salt = docid // ceil(max_docid/S)`` — so a hot term becomes ≤S disjoint,
+docid-ordered runs encoded on different reducers; a second, cheap
+shard-level pass concatenates runs per term (runs ship compressed).  Cold
+terms take salt 0 and pass through the merge untouched.
+
+Hot-term detection samples the postings stream and scales the counts (an
+exact first-pass ``groupby(term).count()`` would itself be the shuffle
+we're protecting).  Over-selection is harmless; under-selection leaves one
+oversized group (correct, slower).
 
 The block-max metadata is the BM25 upper bound per 128-posting block
-(``bound = max tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``; the per-term idf is
-applied at query time), enabling block-max WAND for the BM25 top-k mode.
-The reference has no compression or block metadata (fixed 16-byte postings,
+(``max tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``; the per-term idf applies at
+query time), enabling the block-max WAND top-k mode.  The reference has no
+compression or block metadata (fixed 16-byte postings,
 ``lib/posting.py:45-62``).
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -50,35 +59,44 @@ SEGMENT_SCHEMA = pa.schema(
     ]
 )
 
+_RUN_EXTRA = [("salt", pa.int32()), ("min_docid", pa.int64())]
+RUN_SCHEMA = pa.schema(list(SEGMENT_SCHEMA) + [pa.field(n, t) for n, t in _RUN_EXTRA])
 
-def term_bucket(terms: pa.Array | pa.ChunkedArray, num_buckets: int) -> pa.Array:
-    """Stable hash partition of terms (not Python ``hash`` — must be
-    deterministic across processes)."""
-    import zlib
 
-    vals = [zlib.crc32(t.encode("utf-8")) % num_buckets for t in terms.to_pylist()]
-    return pa.array(vals, pa.int32())
+def _crc_bucket(term: str, num_buckets: int) -> int:
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+def _term_crc_per_row(col, modulo: int) -> np.ndarray:
+    """crc32(term) % modulo per row, hashing only batch-unique terms."""
+    dic = pc.dictionary_encode(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    uniq = np.array(
+        [zlib.crc32(t.encode("utf-8")) for t in dic.dictionary.to_pylist()],
+        dtype=np.uint64,
+    )
+    return (uniq % modulo).astype(np.int64)[dic.indices.to_numpy()]
 
 
 def estimate_hot_terms(
     postings: ray.data.Dataset, threshold: int, sample_fraction: float = 0.02
 ) -> set[str]:
-    """Sampled df estimate: count terms in a ~``sample_fraction`` sample and
-    scale.  Over-selection is harmless (extra salts merge cheaply);
-    under-selection leaves one oversized group (correct, slower)."""
     if sample_fraction >= 1.0:
         sample = postings.select_columns(["term"])
     else:
         sample = postings.select_columns(["term"]).random_sample(sample_fraction)
     counts = sample.groupby("term").count()
     cutoff = max(1.0, threshold * sample_fraction)
-    hot = counts.filter(expr=f"`count()` >= {cutoff}")
+
+    def above(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["count()"], cutoff))
+
+    hot = counts.map_batches(above, batch_format="pyarrow")
     return {r["term"] for r in hot.take_all()}
 
 
-def bm25_tf_bound(
-    tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float
-) -> np.ndarray:
+def bm25_tf_bound(tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float) -> np.ndarray:
     """Per-posting BM25 tf-saturation term (idf excluded)."""
     k1, b = params.BM25_K1, params.BM25_B
     tf = tfs.astype(np.float64)
@@ -87,84 +105,45 @@ def bm25_tf_bound(
     return tf * (k1 + 1.0) / denom
 
 
-class _EncodeGroup:
-    """groupby(term[,salt]).map_groups reducer → one encoded posting run."""
-
-    def __init__(self, avgdl: float, block_size: int, num_buckets: int) -> None:
-        self.avgdl = avgdl
-        self.block_size = block_size
-        self.num_buckets = num_buckets
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("docid", "ascending")])
-        g = group.take(idx)
-        docids = g["docid"].to_numpy()
-        tfs = g["tf"].to_numpy()
-        imps = g["important"].to_numpy()
-        dls = g["doc_len"].to_numpy()
-        term = g["term"][0].as_py()
-
-        docids_vb, tfs_vb = varbyte.encode_postings(docids, tfs)
-        bounds = bm25_tf_bound(tfs, dls, self.avgdl)
-        block_last, block_bound = varbyte.block_max(docids, bounds, self.block_size)
-        return pa.Table.from_pydict(
-            {
-                "term": [term],
-                "df": [len(docids)],
-                "docids_vb": [docids_vb],
-                "tfs_vb": [tfs_vb],
-                "fields": [imps.astype(np.uint8).tobytes()],
-                "block_last": [block_last.tolist()],
-                "block_bound": [block_bound.tolist()],
-                "bucket": pa.array(
-                    [_crc_bucket(term, self.num_buckets)], pa.int32()
-                ),
-            },
-            schema=SEGMENT_SCHEMA,
-        )
-
-
-def _crc_bucket(term: str, num_buckets: int) -> int:
-    import zlib
-
-    return zlib.crc32(term.encode("utf-8")) % num_buckets
-
-
 class _ShardEncode:
-    """Encode ALL terms of one hash shard in a single vectorized pass:
-    sort by (term, docid), slice per term via unique boundaries, varbyte
-    each slice, emit one output table for the whole shard."""
+    """Encode ALL (term[, salt]) runs of one shard in a single vectorized
+    pass: sort by (term, docid) — salts are disjoint docid ranges, so runs
+    are contiguous slices — then varbyte each slice.
 
-    def __init__(self, avgdl: float, block_size: int, num_buckets: int) -> None:
+    ``with_runs=False`` emits SEGMENT_SCHEMA (final, salt-free path);
+    ``with_runs=True`` adds (salt, min_docid) for the merge phase.
+    """
+
+    def __init__(
+        self, avgdl: float, block_size: int, num_buckets: int, with_runs: bool
+    ) -> None:
         self.avgdl = avgdl
         self.block_size = block_size
         self.num_buckets = num_buckets
+        self.with_runs = with_runs
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        import zlib
-
-        idx = pc.sort_indices(
-            group, sort_keys=[("term", "ascending"), ("docid", "ascending")]
-        )
+        sort_cols = [("term", "ascending"), ("docid", "ascending")]
+        idx = pc.sort_indices(group, sort_keys=sort_cols)
         g = group.take(idx)
         terms = np.asarray(g["term"].to_pylist(), dtype=object)
         docids = g["docid"].to_numpy()
         tfs = g["tf"].to_numpy()
         imps = g["important"].to_numpy().astype(np.uint8)
         dls = g["doc_len"].to_numpy()
+        salts = (
+            g["salt"].to_numpy() if self.with_runs and "salt" in g.column_names
+            else np.zeros(len(terms), dtype=np.int64)
+        )
         bounds_all = bm25_tf_bound(tfs, dls, self.avgdl)
 
-        # term boundaries in the sorted order
         change = np.ones(len(terms), dtype=bool)
         if len(terms) > 1:
-            change[1:] = terms[1:] != terms[:-1]
+            change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(terms))
 
-        out = {
-            "term": [], "df": [], "docids_vb": [], "tfs_vb": [], "fields": [],
-            "block_last": [], "block_bound": [], "bucket": [],
-        }
+        out: dict[str, list] = {n: [] for n in RUN_SCHEMA.names}
         for s, e in zip(starts, ends):
             d = docids[s:e]
             dvb, tvb = varbyte.encode_postings(d, tfs[s:e])
@@ -177,66 +156,99 @@ class _ShardEncode:
             out["fields"].append(imps[s:e].tobytes())
             out["block_last"].append(blast.tolist())
             out["block_bound"].append(bbound.tolist())
-            out["bucket"].append(zlib.crc32(t.encode("utf-8")) % self.num_buckets)
-        return pa.Table.from_pydict(out, schema=SEGMENT_SCHEMA)
+            out["bucket"].append(_crc_bucket(t, self.num_buckets))
+            out["salt"].append(int(salts[s]))
+            out["min_docid"].append(int(d[0]))
+        if not self.with_runs:
+            out.pop("salt")
+            out.pop("min_docid")
+            return pa.Table.from_pydict(out, schema=SEGMENT_SCHEMA)
+        return pa.Table.from_pydict(out, schema=RUN_SCHEMA)
 
 
-class _MergeRuns:
-    """Second-phase reducer for salted hot terms: decode ≤S runs, concat,
-    re-encode.  Runs are docid-disjoint ranges so concatenation in
-    min-docid order is globally sorted."""
+class _ShardMergeRuns:
+    """Merge the salted runs of each term inside one merge-shard: runs ship
+    compressed; single-run terms (the cold majority) pass through without
+    decode; multi-run terms decode, concat in min_docid order, re-encode.
+    Merged block bounds take the max contributing run bound per new block —
+    conservative (≥ true bound), safe for WAND."""
 
-    def __init__(self, avgdl: float, block_size: int, num_buckets: int) -> None:
-        self.avgdl = avgdl
+    def __init__(self, block_size: int) -> None:
         self.block_size = block_size
-        self.num_buckets = num_buckets
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 1:
-            return group.drop_columns(["salt", "min_docid"])
-        idx = pc.sort_indices(group, sort_keys=[("min_docid", "ascending")])
+        idx = pc.sort_indices(
+            group, sort_keys=[("term", "ascending"), ("min_docid", "ascending")]
+        )
         g = group.take(idx)
-        term = g["term"][0].as_py()
-        all_docids, all_tfs, all_fields = [], [], []
-        for i in range(g.num_rows):
-            d, t = varbyte.decode_postings(
-                g["docids_vb"][i].as_py(), g["tfs_vb"][i].as_py()
-            )
-            all_docids.append(d)
-            all_tfs.append(t)
-            all_fields.append(np.frombuffer(g["fields"][i].as_py(), dtype=np.uint8))
-        docids = np.concatenate(all_docids)
-        tfs = np.concatenate(all_tfs)
-        fields = np.concatenate(all_fields)
+        terms = np.asarray(g["term"].to_pylist(), dtype=object)
+        change = np.ones(len(terms), dtype=bool)
+        if len(terms) > 1:
+            change[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(terms))
 
-        docids_vb, tfs_vb = varbyte.encode_postings(docids, tfs)
-        # per-posting doc_len is gone post-encode; recompute bound from the
-        # stored per-run blocks is lossy, so the merged bound uses the max
-        # run bound per new block — conservative (>= true bound), which is
-        # safe for WAND. Simpler: take max over contributing run blocks.
-        bounds = np.concatenate(
-            [
-                np.repeat(
-                    np.asarray(g["block_bound"][i].as_py(), dtype=np.float32),
-                    self.block_size,
-                )[: len(all_docids[i])]
-                for i in range(g.num_rows)
-            ]
-        )
-        block_last, block_bound = varbyte.block_max(docids, bounds, self.block_size)
-        return pa.Table.from_pydict(
-            {
-                "term": [term],
-                "df": [len(docids)],
-                "docids_vb": [docids_vb],
-                "tfs_vb": [tfs_vb],
-                "fields": [fields.tobytes()],
-                "block_last": [block_last.tolist()],
-                "block_bound": [block_bound.tolist()],
-                "bucket": pa.array([_crc_bucket(term, self.num_buckets)], pa.int32()),
-            },
-            schema=SEGMENT_SCHEMA,
-        )
+        single = (ends - starts) == 1
+        out_tables = []
+        passthrough_idx = starts[single]
+        if passthrough_idx.size:
+            out_tables.append(
+                g.take(pa.array(passthrough_idx, pa.int64())).drop_columns(
+                    ["salt", "min_docid"]
+                )
+            )
+
+        multi = {n: [] for n in SEGMENT_SCHEMA.names}
+        rows = None
+        for s, e in zip(starts[~single], ends[~single]):
+            if rows is None:
+                rows = g.to_pylist()
+            parts = rows[s:e]
+            docids = np.concatenate(
+                [
+                    varbyte.delta_decode(varbyte.vb_decode(p["docids_vb"]))
+                    for p in parts
+                ]
+            ).astype(np.int64)
+            tfs = np.concatenate(
+                [varbyte.vb_decode(p["tfs_vb"]) for p in parts]
+            ).astype(np.int64)
+            fields = b"".join(p["fields"] for p in parts)
+            bounds = np.concatenate(
+                [
+                    np.repeat(
+                        np.asarray(p["block_bound"], dtype=np.float32),
+                        self.block_size,
+                    )[: p["df"]]
+                    for p in parts
+                ]
+            )
+            dvb, tvb = varbyte.encode_postings(docids, tfs)
+            blast, bbound = varbyte.block_max(docids, bounds, self.block_size)
+            multi["term"].append(parts[0]["term"])
+            multi["df"].append(len(docids))
+            multi["docids_vb"].append(dvb)
+            multi["tfs_vb"].append(tvb)
+            multi["fields"].append(fields)
+            multi["block_last"].append(blast.tolist())
+            multi["block_bound"].append(bbound.tolist())
+            multi["bucket"].append(parts[0]["bucket"])
+        if multi["term"]:
+            out_tables.append(pa.Table.from_pydict(multi, schema=SEGMENT_SCHEMA))
+        if not out_tables:
+            return pa.Table.from_pydict(
+                {n: [] for n in SEGMENT_SCHEMA.names}, schema=SEGMENT_SCHEMA
+            )
+        return pa.concat_tables(out_tables)
+
+
+def _num_shards(num_buckets: int) -> int:
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    # multiple of num_buckets so shard % num_buckets == bucket (single
+    # bucket dir per encoded block in the partitioned write)
+    return num_buckets * max(1, round(cpus * 2 / num_buckets))
 
 
 def build_segments(
@@ -249,42 +261,17 @@ def build_segments(
     num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """(term, docid, tf, important, doc_len) → encoded segments dataset."""
-    encode = _EncodeGroup(avgdl, block_size, num_buckets)
+    num_shards = _num_shards(num_buckets)
 
     if not hot_terms:
-        # shard-level reduce: hash-partition terms into ~2×CPU shards and
-        # encode each shard's terms in one vectorized pass — ONE Python call per
-        # shard instead of one per term (10^4-10^6 term groups otherwise)
-        import ray as _ray
-
-        cpus = int(_ray.cluster_resources().get("CPU", 8))
-        # a multiple of num_buckets so shard % num_buckets == bucket: every
-        # encoded shard block lands in exactly ONE bucket dir of the
-        # partitioned write (otherwise shards × buckets small files)
-        num_shards = num_buckets * max(1, round(cpus * 2 / num_buckets))
-        shard_encode = _ShardEncode(avgdl, block_size, num_buckets)
+        encode = _ShardEncode(avgdl, block_size, num_buckets, with_runs=False)
 
         def add_shard(batch: pa.Table) -> pa.Table:
-            import zlib
-
-            # crc only the batch-unique terms (Zipfian repeats), then
-            # scatter via dictionary indices — no per-row Python hash
-            col = batch["term"]
-            dic = pc.dictionary_encode(
-                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            )
-            uniq_shards = np.array(
-                [
-                    zlib.crc32(t.encode("utf-8")) % num_shards
-                    for t in dic.dictionary.to_pylist()
-                ],
-                dtype=np.int32,
-            )
-            shards = uniq_shards[dic.indices.to_numpy()]
+            shards = _term_crc_per_row(batch["term"], num_shards).astype(np.int32)
             return batch.append_column("shard", pa.array(shards, pa.int32()))
 
         def encode_shard(group: pa.Table) -> pa.Table:
-            return shard_encode(group)
+            return encode(group)
 
         return (
             postings.map_batches(add_shard, batch_format="pyarrow")
@@ -292,44 +279,55 @@ def build_segments(
             .map_groups(encode_shard, batch_format="pyarrow")
         )
 
-    hot_list = sorted(hot_terms)
+    # ---- salted two-phase path -----------------------------------------
+    hot_set = frozenset(hot_terms)
     range_size = max(1, -(-max_docid // num_salts))  # ceil
+    run_encode = _ShardEncode(avgdl, block_size, num_buckets, with_runs=True)
+    merge = _ShardMergeRuns(block_size)
 
-    def add_salt(batch: pa.Table) -> pa.Table:
-        terms = batch["term"].to_pylist()
-        docids = batch["docid"].to_numpy()
-        hot = np.array([t in hot_set for t in terms])
-        salt = np.where(hot, docids // range_size, 0).astype(np.int32)
-        return batch.append_column("salt", pa.array(salt, pa.int32()))
-
-    hot_set = set(hot_list)
-    run_encode = _RunEncode(encode)
-    merge = _MergeRuns(avgdl, block_size, num_buckets)
-
-    def encode_run(group: pa.Table) -> pa.Table:
-        return run_encode(group)
-
-    def merge_runs(group: pa.Table) -> pa.Table:
-        return merge(group)
-
-    salted = postings.map_batches(add_salt, batch_format="pyarrow")
-    runs = salted.groupby(["term", "salt"]).map_groups(encode_run, batch_format="pyarrow")
-    return runs.groupby("term").map_groups(merge_runs, batch_format="pyarrow")
-
-
-class _RunEncode:
-    """Wraps _EncodeGroup keeping (salt, min_docid) for the merge phase."""
-
-    def __init__(self, encode: _EncodeGroup) -> None:
-        self._encode = encode
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        out = self._encode(group)
-        salt = group["salt"][0].as_py()
-        min_docid = pc.min(group["docid"]).as_py()
-        return out.append_column("salt", pa.array([salt], pa.int32())).append_column(
-            "min_docid", pa.array([min_docid], pa.int64())
+    def add_salt_shard(batch: pa.Table) -> pa.Table:
+        col = batch["term"]
+        dic = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         )
+        uniq_terms = dic.dictionary.to_pylist()
+        uniq_hot = np.array([t in hot_set for t in uniq_terms])
+        uniq_crc = np.array(
+            [zlib.crc32(t.encode("utf-8")) for t in uniq_terms], dtype=np.uint64
+        )
+        inds = dic.indices.to_numpy()
+        hot_rows = uniq_hot[inds]
+        docids = batch["docid"].to_numpy()
+        salt = np.where(hot_rows, docids // range_size, 0).astype(np.int32)
+        # runs of one term spread across reducers: mix salt into the shard key
+        shard = (
+            (uniq_crc[inds] + salt.astype(np.uint64) * np.uint64(0x9E3779B1))
+            % num_shards
+        ).astype(np.int32)
+        return batch.append_column(
+            "salt", pa.array(salt, pa.int32())
+        ).append_column("shard", pa.array(shard, pa.int32()))
+
+    def encode_run_shard(group: pa.Table) -> pa.Table:
+        return run_encode(group.drop_columns(["shard"]))
+
+    def add_merge_shard(batch: pa.Table) -> pa.Table:
+        shards = _term_crc_per_row(batch["term"], num_shards).astype(np.int32)
+        return batch.append_column("mshard", pa.array(shards, pa.int32()))
+
+    def merge_shard(group: pa.Table) -> pa.Table:
+        return merge(group.drop_columns(["mshard"]))
+
+    runs = (
+        postings.map_batches(add_salt_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(encode_run_shard, batch_format="pyarrow")
+    )
+    return (
+        runs.map_batches(add_merge_shard, batch_format="pyarrow")
+        .groupby("mshard")
+        .map_groups(merge_shard, batch_format="pyarrow")
+    )
 
 
 def decode_segment_row(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
