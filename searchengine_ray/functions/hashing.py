@@ -57,6 +57,23 @@ def exact_hash(content: str | bytes) -> bytes:
     return crc32(content).to_bytes(4, "little") + len(content).to_bytes(4, "little")
 
 
+def hash64_str(s: str) -> int:
+    """Fast 64-bit string key: two C-speed CRC32s (plain and salted)
+    packed into one word.  Used for broadcast join keys where a Python-dict
+    broadcast would be re-deserialized per task — numpy key arrays are
+    zero-copy out of the object store.  Collision odds are birthday-bound
+    over 2^64 (~1e-7 at 2M keys, the broadcast threshold)."""
+    b = s.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b"\x9e" + b)
+
+
+def hash64_arr(strs) -> np.ndarray:
+    """hash64_str over a sequence → uint64 array."""
+    return np.fromiter(
+        (hash64_str(s) for s in strs), dtype=np.uint64, count=len(strs)
+    )
+
+
 class WordHashCache:
     """Memoized ``crc64(word) % 2^32`` (vocab is Zipfian; one per actor)."""
 

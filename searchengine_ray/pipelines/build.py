@@ -48,6 +48,17 @@ from searchengine_ray.state.checkpoint import StageCheckpoint
 
 MANIFEST = "manifest.json"
 
+import numpy as np
+
+from searchengine_ray.functions import hashing as _hashing
+
+
+def _url_ts_keys(urls: list[str], ts_us: np.ndarray) -> np.ndarray:
+    """64-bit (url, warc_ts) join keys (see hashing.hash64_str)."""
+    crc = _hashing.hash64_arr(urls)
+    with np.errstate(over="ignore"):
+        return crc ^ (ts_us.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
 
 @dataclass
 class BuildResult:
@@ -132,7 +143,6 @@ def build_index(
             # driver path: the key table is small enough to broadcast anyway,
             # so D1/D2 run vectorized on the driver straight from the Arrow
             # refs (no groupby shuffles, no per-group Python)
-            import numpy as np
 
             kt = pa.concat_tables(ray.get(keys.materialize().to_arrow_refs()))
             # keys are canonically sorted: equal defrag_urls are contiguous
@@ -160,16 +170,18 @@ def build_index(
             pruned_exact = int(d1_idx.size - len(surv_idx))
             num_surv = len(surv_idx)
             sv = kt.take(pa.array(surv_idx, pa.int64()))
-            lut = {
-                (u, t): (d, f)
-                for u, t, d, f in zip(
-                    sv["url"].to_pylist(),
-                    sv["warc_ts"].to_pylist(),
-                    sv["docid"].to_pylist(),
-                    sv["defrag_url"].to_pylist(),
-                )
-            }
-            lut_ref = ray.put(lut)
+            # broadcast as ZERO-COPY numpy arrays (a Python dict broadcast is
+            # re-unpickled by every task — measured anti-scaling with CPUs):
+            # sorted 64-bit (url, warc_ts) keys + aligned docids; defrag_url
+            # is recomputed in-task (cheap)
+            sv_keys = _url_ts_keys(
+                sv["url"].to_pylist(),
+                sv["warc_ts"].combine_chunks().cast(pa.int64()).to_numpy(),
+            )
+            order2 = np.argsort(sv_keys)
+            lut_ref = ray.put(
+                (sv_keys[order2], sv["docid"].to_numpy()[order2])
+            )
         else:
             pruned_empty = keys.filter(expr="empty == True").count()
             survivors = dedup.dedup_url_exact(keys).materialize()
@@ -189,20 +201,35 @@ def build_index(
         if broadcast:
 
             def attach_ids(batch: pa.Table) -> pa.Table:
-                lk = ray.get(lut_ref)
+                from searchengine_ray.functions import htmlx as _hx
+
+                keys_sorted, docids_sorted = ray.get(lut_ref)
                 urls = batch["url"].to_pylist()
-                ts = batch["warc_ts"].to_pylist()
-                keep, ids, dfr = [], [], []
-                for i, (u, t) in enumerate(zip(urls, ts)):
-                    v = lk.get((u, t))
-                    if v is not None:
-                        keep.append(i)
-                        ids.append(v[0])
-                        dfr.append(v[1])
+                ts = (
+                    batch["warc_ts"].combine_chunks()
+                    if isinstance(batch["warc_ts"], pa.ChunkedArray)
+                    else batch["warc_ts"]
+                ).cast(pa.int64()).to_numpy()
+                if keys_sorted.size == 0:
+                    return pa.Table.from_pydict(
+                        {"docid": [], "defrag_url": [], "html": []},
+                        schema=pa.schema(
+                            [
+                                ("docid", pa.int64()),
+                                ("defrag_url", pa.string()),
+                                ("html", pa.binary()),
+                            ]
+                        ),
+                    )
+                bkeys = _url_ts_keys(urls, ts)
+                pos = np.searchsorted(keys_sorted, bkeys)
+                pos_c = np.minimum(pos, keys_sorted.size - 1)
+                keep = np.flatnonzero(keys_sorted[pos_c] == bkeys)
                 sub = batch.select(["html"]).take(pa.array(keep, pa.int64()))
+                dfr = [_hx.defrag(urls[i]) for i in keep]
                 return pa.table(
                     {
-                        "docid": pa.array(ids, pa.int64()),
+                        "docid": pa.array(docids_sorted[pos_c[keep]], pa.int64()),
                         "defrag_url": pa.array(dfr, pa.string()),
                         "html": sub["html"],
                     }
@@ -262,12 +289,15 @@ def build_index(
         pruned_ids = set()
     pruned_neardup = len(pruned_ids)
     if pruned_ids:
-        pruned_ref = ray.put(frozenset(pruned_ids))
+        pruned_ref = ray.put(np.sort(np.fromiter(pruned_ids, dtype=np.int64)))
 
         def drop_pruned(batch: pa.Table) -> pa.Table:
-            ids = ray.get(pruned_ref)
-            mask = pa.array([d not in ids for d in batch["docid"].to_pylist()])
-            return batch.filter(mask)
+            arr = ray.get(pruned_ref)  # zero-copy numpy
+            docids = batch["docid"].to_numpy()
+            pos = np.searchsorted(arr, docids)
+            pos_c = np.minimum(pos, arr.size - 1)
+            mask = arr[pos_c] != docids
+            return batch.filter(pa.array(mask))
 
         survivors_ex = extracted.map_batches(drop_pruned, batch_format="pyarrow")
     else:
@@ -321,25 +351,40 @@ def build_index(
     if not ck_edges.is_complete():
         raw_edges = survivors_ex.map_batches(explode_links, batch_format="pyarrow")
         if num_docs <= cfg.broadcast_threshold:
-            # broadcast url→docid resolution (J1 as a map-side lookup)
-            url_rows = docs.select_columns(["url", "docid"]).take_all()
-            url_lut = {r["url"]: r["docid"] for r in url_rows}
-            url_ref = ray.put(url_lut)
+            # broadcast url→docid resolution (J1 as a map-side lookup):
+            # zero-copy numpy key/docid arrays, not a Python dict
+            url_tbl = pa.concat_tables(
+                ray.get(
+                    docs.select_columns(["url", "docid"]).materialize().to_arrow_refs()
+                )
+            )
+            ukeys = _hashing.hash64_arr(url_tbl["url"].to_pylist())
+            uorder = np.argsort(ukeys)
+            url_ref = ray.put(
+                (ukeys[uorder], url_tbl["docid"].to_numpy()[uorder])
+            )
 
             def resolve(batch: pa.Table) -> pa.Table:
-                lk = ray.get(url_ref)
-                srcs, dsts = [], []
-                for s, u in zip(
-                    batch["src"].to_pylist(), batch["dst_url"].to_pylist()
-                ):
-                    d = lk.get(u)
-                    if d is not None:
-                        srcs.append(s)
-                        dsts.append(d)
+                keys_sorted, docids_sorted = ray.get(url_ref)
+                if keys_sorted.size == 0:
+                    return pa.table(
+                        {
+                            "src": pa.array([], pa.int64()),
+                            "dst": pa.array([], pa.int64()),
+                        }
+                    )
+                bkeys = _hashing.hash64_arr(batch["dst_url"].to_pylist())
+                pos = np.searchsorted(keys_sorted, bkeys)
+                pos_c = np.minimum(pos, keys_sorted.size - 1)
+                keep = np.flatnonzero(keys_sorted[pos_c] == bkeys)
                 return pa.table(
                     {
-                        "src": pa.array(srcs, pa.int64()),
-                        "dst": pa.array(dsts, pa.int64()),
+                        "src": pa.array(
+                            batch["src"].to_numpy()[keep], pa.int64()
+                        ),
+                        "dst": pa.array(
+                            docids_sorted[pos_c[keep]], pa.int64()
+                        ),
                     }
                 )
 

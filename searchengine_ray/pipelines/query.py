@@ -274,13 +274,14 @@ class QueryEngine:
         cand_all = np.empty(0, dtype=np.int64)
         theta = -np.inf
         for i, (idf, (ids, tfs, imps, blast, bbound)) in enumerate(rows):
-            if cand_all.size >= k and suffix[i] <= theta:
-                break  # no unseen doc can reach the top-k
+            if cand_all.size >= k and suffix[i] < theta:
+                break  # no unseen doc can reach the top-k (ties kept: a
+                # tied doc with lower docid would outrank the incumbent)
             new = ids[~np.isin(ids, cand_all, assume_unique=True)] if cand_all.size else ids
             if cand_all.size >= k and new.size:
                 # block-max prune within this term's new candidates
                 bound = idf * bbound + suffix[i + 1]
-                keep_block = bound > theta
+                keep_block = bound >= theta
                 posting_keep = np.repeat(keep_block, bs)[: ids.size]
                 live = ids[posting_keep]
                 new = new[np.isin(new, live, assume_unique=True)]
