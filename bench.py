@@ -28,6 +28,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 DEFAULT_REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "4"))
+# near-dup mode for the benchmarked build: "window" replicates the
+# reference's serial 200-doc semantics (parity default); "lsh" is the
+# distributed scale path.  The scaling runs use lsh — the serial window
+# scan is a deliberate parity artifact, not the at-scale configuration.
+NEARDUP = os.environ.get("GRAFT_BENCH_NEARDUP", "window")
 
 
 def _prepare_pages(sf_dir: str, replicas: int) -> str:
@@ -77,8 +82,11 @@ def run_bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     out_dir = f"/tmp/bench_index_{os.getpid()}"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
+    from searchengine_ray.params import BuildConfig
+
+    cfg = BuildConfig(near_dup_mode=NEARDUP)
     t0 = time.perf_counter()
-    result = build_index(ray.data.read_parquet(pages_dir), out_dir)
+    result = build_index(ray.data.read_parquet(pages_dir), out_dir, cfg)
     t_build = time.perf_counter() - t0
     timings["index_build"] = t_build
 
@@ -125,6 +133,7 @@ def run_bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         "n_docs": result.num_docs,
         "n_terms": result.num_terms,
         "docs_per_sec": round(n_pages / t_build, 1),
+        "neardup_mode": NEARDUP,
         "build_stage_wall_s": {k: round(v, 2) for k, v in result.wall_s.items()},
     }
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -142,6 +151,7 @@ def run_scaling(sf_dir: str, replicas: int, low: int = 8, high: int = 32) -> dic
             RAY_GRAFT_CPUS=str(cpus),
             GRAFT_SF_DIR=sf_dir,
             GRAFT_BENCH_REPLICAS=str(replicas),
+            GRAFT_BENCH_NEARDUP=os.environ.get("GRAFT_BENCH_NEARDUP", "lsh"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -123,4 +123,10 @@ def hamming32_vec(arr: np.ndarray, h: int) -> np.ndarray:
     return _POPCNT8[view].sum(axis=1)
 
 
+def popcount32_mat(x: np.ndarray) -> np.ndarray:
+    """Elementwise popcount of a uint32 array of any shape (LUT on bytes)."""
+    view = x.view(np.uint8).reshape(x.shape + (4,))
+    return _POPCNT8[view].sum(axis=-1)
+
+
 _DEFAULT_WORD_HASHES = WordHashCache()

@@ -413,8 +413,12 @@ def build_index(
         flat = survivors_ex.map_batches(explode_postings, batch_format="pyarrow")
         hot: set[str] = set()
         if cfg.hot_term_df_threshold and num_docs > cfg.hot_term_df_threshold:
-            flat = flat.materialize()
+            # flat is a cheap map over the materialized survivors — let the
+            # sampler and the shuffle each re-run it rather than pinning
+            # ~docs×terms rows in the object store
+            t1 = time.perf_counter()
             hot = postings_mod.estimate_hot_terms(flat, cfg.hot_term_df_threshold)
+            wall["segments_hot_estimate"] = time.perf_counter() - t1
         segments = postings_mod.build_segments(
             flat,
             avgdl=avgdl,
@@ -428,7 +432,9 @@ def build_index(
 
         if os.path.exists(seg_dir):
             shutil.rmtree(seg_dir)
+        t1 = time.perf_counter()
         segments.write_parquet(seg_dir, partition_cols=["bucket"])
+        wall["segments_shuffle_write"] = time.perf_counter() - t1
         num_terms = ray.data.read_parquet(seg_dir).count()
         ck_seg.commit(num_terms=num_terms, hot_terms=sorted(hot))
     wall["segments"] = time.perf_counter() - t0

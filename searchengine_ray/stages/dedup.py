@@ -18,13 +18,13 @@ modes (SURVEY.md §2.7 D3):
 - ``window`` — parity mode, replicates the sequential 200-window exactly.
   The (docid, simhash) column pair is pulled to the driver (8–12 B/doc) and
   scanned serially.  Fine to ~10^8 docs; beyond that use ``lsh``.
-- ``lsh`` — scale mode: the 32-bit simhash splits into 4 bands of 8 bits;
-  Hamming ≤ 3 ⇒ at least one band matches exactly (pigeonhole), so banding
-  finds every near-dup pair.  Each doc is pruned iff some *lower-docid* doc
-  within Hamming ≤ 3 shares a band.  Divergence from the reference: global
-  (no 200-doc window) and non-chained (a pruned doc can still prune later
-  docs); both divergences are supersets of the window semantics for
-  same-window pairs except chained prunes.
+- ``lsh`` — scale mode: exact global Hamming-ball pruning over distinct
+  simhash values (see :func:`simhash_prune_lsh`; banded LSH degenerates on
+  skewed 8-bit bands).  Each doc is pruned iff ANY lower-docid doc sits
+  within Hamming ≤ 3.  Divergence from the reference: global (no 200-doc
+  window) and non-chained (a pruned doc can still prune later docs); both
+  divergences are supersets of the window semantics for same-window pairs
+  except chained prunes.
 """
 
 from __future__ import annotations
@@ -110,46 +110,103 @@ def simhash_prune_window(extracted: ray.data.Dataset) -> set[int]:
     )
 
 
-def _band_rows(batch: pa.Table) -> pa.Table:
-    """(docid, simhash) → 4 rows (band_key, docid, simhash); band_key packs
-    (band index, 8 band bits)."""
-    docids = batch["docid"].to_numpy()
-    sims = batch["simhash"].to_numpy().astype(np.uint32)
-    n = len(docids)
-    bands = np.arange(4, dtype=np.uint32)
-    # band b holds bits [8b, 8b+8)
-    vals = (sims[:, None] >> (bands[None, :] * 8)) & np.uint32(0xFF)
-    keys = (bands[None, :] << 8 | vals).astype(np.int32)
-    return pa.table(
-        {
-            "band_key": pa.array(keys.ravel(), pa.int32()),
-            "docid": pa.array(np.repeat(docids, 4), pa.int64()),
-            "simhash": pa.array(np.repeat(sims.astype(np.int64), 4), pa.int64()),
-        }
-    )
+def _hamming_ball_masks(bits: int = 32, radius: int = params.SIMHASH_HAMMING_MAX):
+    """All nonzero XOR masks within Hamming ``radius`` of 0 (32 choose ≤3
+    = 5,488 masks)."""
+    import itertools
+
+    masks = []
+    for r in range(1, radius + 1):
+        for combo in itertools.combinations(range(bits), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return np.array(masks, dtype=np.uint32)
 
 
-def _prune_in_band(group: pa.Table) -> pa.Table:
-    """Within one band bucket: emit docids having a lower-docid doc within
-    Hamming ≤ 3 (O(g²) popcount, groups are band-sized so small)."""
-    idx = pc.sort_indices(group, sort_keys=[("docid", "ascending")])
-    g = group.take(idx)
-    docids = g["docid"].to_numpy()
-    sims = g["simhash"].to_numpy().astype(np.uint32)
-    pruned = []
-    for i in range(1, len(docids)):
-        if hashing.hamming32_vec(sims[:i], int(sims[i])).min() <= params.SIMHASH_HAMMING_MAX:
-            pruned.append(docids[i])
-    return pa.table({"docid": pa.array(pruned, pa.int64())})
+_BALL_MASKS = _hamming_ball_masks()
 
 
 def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
-    """Scale-mode D3: banded LSH.  Returns a Dataset of pruned docids
-    (distinct)."""
-    bands = extracted.select_columns(["docid", "simhash"]).map_batches(
-        _band_rows, batch_format="pyarrow"
+    """Scale-mode D3: exact global near-dup pruning by Hamming-ball
+    enumeration over DISTINCT simhash values.
+
+    A banded-LSH verify degenerates when band buckets are huge (any skewed
+    8-bit band ⇒ O(bucket²)).  Instead: (1) ``groupby(simhash).min(docid)``
+    collapses the corpus to V distinct 32-bit values; (2) for each value,
+    probe all 5,488 Hamming≤3 neighbours against the sorted value array
+    (vectorized searchsorted per mask, distributed over value chunks) to
+    find the smallest docid in its neighbourhood; (3) one streaming pass
+    prunes every doc whose docid exceeds its value's threshold.
+
+    Exact, order-free, and O(V·5488·log V) total.  Caveat: V caps at 2^32
+    — at ≳10^9 docs the 32-bit reference simhash saturates and Hamming≤3
+    stops being selective; the true scale path is a 64/128-bit simhash
+    with the same structure.
+    """
+    import ray as _ray
+
+    mins = (
+        extracted.select_columns(["docid", "simhash"])
+        .groupby("simhash")
+        .min("docid")
     )
-    pruned = bands.groupby("band_key").map_groups(_prune_in_band, batch_format="pyarrow")
-    return pruned.groupby("docid").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    mt = pa.concat_tables(_ray.get(mins.materialize().to_arrow_refs()))
+    if mt.num_rows == 0:
+        return ray.data.from_arrow(pa.table({"docid": pa.array([], pa.int64())}))
+    vals = mt["simhash"].to_numpy().astype(np.uint32)
+    vmin = mt["min(docid)"].to_numpy().astype(np.int64)
+    order = np.argsort(vals)
+    sorted_vals = vals[order]
+    sorted_mins = vmin[order]
+    ref = _ray.put((sorted_vals, sorted_mins))
+
+    values_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "value": sorted_vals.astype(np.int64),
+                "mind": sorted_mins,
+            }
+        )
+    ).repartition(max(2, int(_ray.cluster_resources().get("CPU", 8))))
+
+    def thresholds(batch: pa.Table) -> pa.Table:
+        sv, sm = _ray.get(ref)
+        u = batch["value"].to_numpy().astype(np.uint32)
+        thr = batch["mind"].to_numpy().astype(np.int64).copy()
+        n = sv.size
+        big = np.iinfo(np.int64).max
+        for mask in _BALL_MASKS:
+            q = u ^ mask
+            pos = np.searchsorted(sv, q)
+            pos_c = np.minimum(pos, n - 1)
+            hit = sv[pos_c] == q
+            cand = np.where(hit, sm[pos_c], big)
+            np.minimum(thr, cand, out=thr)
+        return pa.table({"value": batch["value"], "thr": pa.array(thr, pa.int64())})
+
+    thr_t = pa.concat_tables(
+        _ray.get(
+            values_ds.map_batches(thresholds, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    tvals = thr_t["value"].to_numpy().astype(np.uint32)
+    tthr = thr_t["thr"].to_numpy()
+    torder = np.argsort(tvals)
+    thr_ref = _ray.put((tvals[torder], tthr[torder]))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        sv, thr = _ray.get(thr_ref)
+        sims = batch["simhash"].to_numpy().astype(np.uint32)
+        docids = batch["docid"].to_numpy()
+        pos = np.searchsorted(sv, sims)
+        pos_c = np.minimum(pos, sv.size - 1)
+        mask = docids > thr[pos_c]
+        return pa.table({"docid": pa.array(docids[mask], pa.int64())})
+
+    return extracted.select_columns(["docid", "simhash"]).map_batches(
+        prune, batch_format="pyarrow"
     )
