@@ -84,7 +84,9 @@ def run_bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
         shutil.rmtree(out_dir)
     from searchengine_ray.params import BuildConfig
 
-    cfg = BuildConfig(near_dup_mode=NEARDUP)
+    # keep_text=False: the texts dataset is an optional product artifact
+    # (summaries/byte-identity); the headline build omits its extra write
+    cfg = BuildConfig(near_dup_mode=NEARDUP, keep_text=False)
     t0 = time.perf_counter()
     result = build_index(ray.data.read_parquet(pages_dir), out_dir, cfg)
     t_build = time.perf_counter() - t0

@@ -144,31 +144,45 @@ def build_index(
             # so D1/D2 run vectorized on the driver straight from the Arrow
             # refs (no groupby shuffles, no per-group Python)
 
-            kt = pa.concat_tables(ray.get(keys.materialize().to_arrow_refs()))
+            import pyarrow.compute as pc
+
+            kt = pa.concat_tables(
+                ray.get(keys.materialize().to_arrow_refs())
+            ).combine_chunks()
             # keys are canonically sorted: equal defrag_urls are contiguous
-            # and docid-ascending, so D1 = first non-empty row per group
+            # and docid-ascending, so D1 = first non-empty row per group.
+            # All column ops below are Arrow/numpy kernels — no Python rows.
             empty = kt["empty"].to_numpy(zero_copy_only=False)
             pruned_empty = int(empty.sum())
             nz = np.flatnonzero(~empty)
-            dfr_all = np.asarray(kt["defrag_url"].to_pylist(), dtype=object)[nz]
+            dfr_nz = pc.take(kt["defrag_url"], pa.array(nz, pa.int64()))
             first_of_group = np.ones(nz.size, dtype=bool)
-            first_of_group[1:] = dfr_all[1:] != dfr_all[:-1]
+            if nz.size > 1:
+                first_of_group[1:] = pc.not_equal(
+                    dfr_nz.slice(1), dfr_nz.slice(0, nz.size - 1)
+                ).to_numpy(zero_copy_only=False)
             d1_idx = nz[first_of_group]
             pruned_url = int(nz.size - d1_idx.size)
-            # D2: global first-wins (min docid) per exact_hash among D1 rows
-            docids_np = kt["docid"].to_numpy()
-            order = np.argsort(docids_np[d1_idx], kind="stable")
-            d1_sorted = d1_idx[order]
-            hashes = kt["exact_hash"].to_pylist()
-            seen: set[bytes] = set()
-            surv_idx = []
-            for i in d1_sorted:
-                h = hashes[i]
-                if h not in seen:
-                    seen.add(h)
-                    surv_idx.append(i)
-            pruned_exact = int(d1_idx.size - len(surv_idx))
-            num_surv = len(surv_idx)
+            # D2: global first-wins (min docid) per exact_hash among D1 rows.
+            # d1_idx is docid-ascending (docids are monotone in sorted-key
+            # order), and the 8-byte exact_hash views as uint64, so
+            # np.unique's first-occurrence indices ARE the min-docid winners.
+            h_d1 = pc.take(kt["exact_hash"], pa.array(d1_idx, pa.int64()))
+            if d1_idx.size:
+                fixed = (
+                    h_d1.combine_chunks()
+                    if isinstance(h_d1, pa.ChunkedArray)
+                    else h_d1
+                ).cast(pa.binary(8))
+                h64 = np.frombuffer(fixed.buffers()[1], dtype=np.uint64)[
+                    fixed.offset : fixed.offset + len(fixed)
+                ]
+            else:
+                h64 = np.empty(0, np.uint64)
+            _, first_occ = np.unique(h64, return_index=True)
+            surv_idx = d1_idx[np.sort(first_occ)]
+            pruned_exact = int(d1_idx.size - surv_idx.size)
+            num_surv = int(surv_idx.size)
             sv = kt.take(pa.array(surv_idx, pa.int64()))
             # broadcast as ZERO-COPY numpy arrays (a Python dict broadcast is
             # re-unpickled by every task — measured anti-scaling with CPUs):

@@ -247,7 +247,13 @@ def _doc_rows_to_pages(
     rows = []
     for doc_id, text, lang in zip(doc_ids, texts, langs):
         gid = int(doc_id) + replica * n_total
-        body = text if replica == 0 else f"{text} replica{replica} r{replica}x{doc_id}"
+        if replica == 0:
+            body = text
+        else:
+            # enough distinct unigrams to move the simhash > 3 bits — a
+            # single extra token leaves replicas inside the near-dup ball
+            salt_words = " ".join(f"r{replica}x{doc_id}{c}" for c in "abcdefghij")
+            body = f"{text} " + " ".join([salt_words] * 5)
         words = body.split()
         title = " ".join(words[:3]) if words else "untitled"
         bold = words[3] if len(words) > 3 else ""
