@@ -263,7 +263,10 @@ def build_index(
         if cfg.extract_concurrency:
             ex = with_html.map_batches(
                 ExtractBatch,
-                fn_constructor_kwargs={"importance_bug": cfg.importance_bug},
+                fn_constructor_kwargs={
+                    "importance_bug": cfg.importance_bug,
+                    "emit_text": cfg.keep_text,
+                },
                 batch_format="pyarrow",
                 batch_size=cfg.extract_batch_size,
                 concurrency=cfg.extract_concurrency,
@@ -276,7 +279,9 @@ def build_index(
 
             ex = with_html.map_batches(
                 functools.partial(
-                    extract_batch_task, importance_bug=cfg.importance_bug
+                    extract_batch_task,
+                    importance_bug=cfg.importance_bug,
+                    emit_text=cfg.keep_text,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.extract_batch_size,

@@ -86,10 +86,13 @@ class ExtractBatch:
     Input batch: (docid, defrag_url, html).  Output: EXTRACTED_SCHEMA.
     """
 
-    def __init__(self, importance_bug: bool = True) -> None:
+    def __init__(self, importance_bug: bool = True, emit_text: bool = True) -> None:
         self._stemmer = CachedStemmer()
         self._word_hashes = hashing.WordHashCache()
         self._importance_bug = importance_bug
+        # emit_text=False writes "" to the text column (the checkpoint can
+        # be ~half the bytes when the texts artifact isn't kept)
+        self._emit_text = emit_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docids = batch["docid"].to_pylist()
@@ -124,7 +127,7 @@ class ExtractBatch:
 
             out["docid"].append(docid)
             out["url"].append(url)
-            out["text"].append(text)
+            out["text"].append(text if self._emit_text else "")
             out["simhash"].append(sim)
             out["total_tokens"].append(len(token_counts))
             out["doc_len"].append(len(stemmed))
@@ -136,10 +139,12 @@ class ExtractBatch:
         return pa.Table.from_pydict(out, schema=EXTRACTED_SCHEMA)
 
 
-_TASK_STATE: dict[bool, "ExtractBatch"] = {}
+_TASK_STATE: dict[tuple, "ExtractBatch"] = {}
 
 
-def extract_batch_task(batch: pa.Table, *, importance_bug: bool = True) -> pa.Table:
+def extract_batch_task(
+    batch: pa.Table, *, importance_bug: bool = True, emit_text: bool = True
+) -> pa.Table:
     """Task-pool variant of :class:`ExtractBatch` with the stateful setup
     cached per worker *process* (Ray Data tasks reuse warm workers, so the
     stem/word-hash caches are built once per process — the same
@@ -147,10 +152,11 @@ def extract_batch_task(batch: pa.Table, *, importance_bug: bool = True) -> pa.Ta
     because it skips actor-pool cold start and autoscaler ramp on every
     build).  The actor-pool class remains available via
     ``BuildConfig.extract_concurrency``."""
-    eb = _TASK_STATE.get(importance_bug)
+    key = (importance_bug, emit_text)
+    eb = _TASK_STATE.get(key)
     if eb is None:
-        eb = ExtractBatch(importance_bug=importance_bug)
-        _TASK_STATE[importance_bug] = eb
+        eb = ExtractBatch(importance_bug=importance_bug, emit_text=emit_text)
+        _TASK_STATE[key] = eb
     return eb(batch)
 
 

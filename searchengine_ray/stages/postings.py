@@ -199,11 +199,10 @@ class _ShardMergeRuns:
             )
 
         multi = {n: [] for n in SEGMENT_SCHEMA.names}
-        rows = None
         for s, e in zip(starts[~single], ends[~single]):
-            if rows is None:
-                rows = g.to_pylist()
-            parts = rows[s:e]
+            # materialize ONLY this term's runs (hot terms are few; the
+            # cold majority passed through above without row conversion)
+            parts = g.slice(s, e - s).to_pylist()
             docids = np.concatenate(
                 [
                     varbyte.delta_decode(varbyte.vb_decode(p["docids_vb"]))
