@@ -33,6 +33,11 @@ DEFAULT_REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "4"))
 # distributed scale path.  The scaling runs use lsh — the serial window
 # scan is a deliberate parity artifact, not the at-scale configuration.
 NEARDUP = os.environ.get("GRAFT_BENCH_NEARDUP", "window")
+# bench artifacts live on tmpfs when available: the scaling comparison
+# measures the engine, not one shared VM disk (real cluster nodes have
+# per-node local storage); falls back to /tmp transparently
+SCRATCH = "/dev/shm/se_bench" if os.path.isdir("/dev/shm") else "/tmp"
+
 
 
 def _prepare_pages(sf_dir: str, replicas: int) -> str:
@@ -42,7 +47,8 @@ def _prepare_pages(sf_dir: str, replicas: int) -> str:
     from searchengine_ray.sources.pages import pages_dataset_from_documents
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/bench_pages_{tag}_x{replicas}"
+    os.makedirs(SCRATCH, exist_ok=True)
+    out = f"{SCRATCH}/bench_pages_{tag}_x{replicas}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     if os.path.exists(out):
@@ -79,7 +85,7 @@ def run_bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     n_pages = ray.data.read_parquet(pages_dir).count()
 
     # ---- headline: index build (fresh output dir each run) --------------
-    out_dir = f"/tmp/bench_index_{os.getpid()}"
+    out_dir = f"{SCRATCH}/bench_index_{os.getpid()}"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     from searchengine_ray.params import BuildConfig
@@ -195,8 +201,10 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--replicas", type=int, default=DEFAULT_REPLICAS)
+    ap.add_argument("--low", type=int, default=4, help="N CPUs")
+    ap.add_argument("--high", type=int, default=16, help="4N CPUs")
     args = ap.parse_args()
     if args.scaling:
-        print(json.dumps(run_scaling(SF_DIR, args.replicas)))
+        print(json.dumps(run_scaling(SF_DIR, args.replicas, args.low, args.high)))
     else:
         print(json.dumps(run_bench(SF_DIR, CPUS, args.replicas)))
