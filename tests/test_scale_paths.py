@@ -117,3 +117,36 @@ def test_salted_hot_terms_equal_plain_groupby(ray_session):
         nb = (len(d) + params.BLOCK_MAX_SIZE - 1) // params.BLOCK_MAX_SIZE
         assert len(row["block_last"]) == nb
         assert row["block_last"][-1] == d[-1]
+
+
+def test_lsh_prune_matches_bruteforce(ray_session):
+    """Half-split probe must prune exactly the docs with a lower-docid
+    near-dup (Hamming ≤ 3), vs an all-pairs oracle."""
+    import pyarrow as pa
+
+    from searchengine_ray.functions import hashing
+    from searchengine_ray.stages.dedup import simhash_prune_lsh
+
+    rng = np.random.RandomState(3)
+    n = 600
+    sims = rng.randint(0, 2**32, n).astype(np.uint64).astype(np.int64)
+    # plant near-dup chains: copies with ≤3 flipped bits
+    for i in range(0, n, 10):
+        j = (i + rng.randint(1, 9)) % n
+        flips = rng.choice(32, rng.randint(0, 4), replace=False)
+        v = int(sims[i])
+        for b in flips:
+            v ^= 1 << int(b)
+        sims[j] = v
+    docids = np.arange(1, n + 1)
+    ds = ray.data.from_arrow(
+        pa.table({"docid": pa.array(docids, pa.int64()), "simhash": pa.array(sims, pa.int64())})
+    ).repartition(4)
+    got = {r["docid"] for r in simhash_prune_lsh(ds).take_all()}
+
+    want = set()
+    s32 = sims.astype(np.uint32)
+    for i in range(1, n):
+        if hashing.hamming32_vec(s32[:i], int(s32[i])).min() <= 3:
+            want.add(int(docids[i]))
+    assert got == want
