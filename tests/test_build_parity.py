@@ -117,3 +117,28 @@ def test_resume_skips_completed(built, tmp_path):
     assert time.perf_counter() - t0 < 1.0
     assert again.num_docs == result.num_docs
     assert again.num_terms == result.num_terms
+
+
+def test_intended_importance_parity(ray_session, tmp_path):
+    """importance_bug=False (intended semantics: first matching tag id)
+    must match the oracle's non-bug path — and differ from the bug path."""
+    from searchengine_ray import params as P
+
+    table = synthesize_pages(120)
+    cfg = P.BuildConfig(importance_bug=False)
+    result = build_index(
+        ray.data.from_arrow(table).repartition(4), str(tmp_path / "nb"), cfg
+    )
+    oracle = serial.build(table, P.BuildConfig(importance_bug=False))
+
+    seg = _read(result.segments_dir)
+    got = {}
+    any_nonzero = False
+    for row in seg.to_pylist():
+        docids, tfs, imps = decode_segment_row(row)
+        got[row["term"]] = list(zip(docids.tolist(), tfs.tolist(), imps.tolist()))
+        any_nonzero = any_nonzero or any(imps)
+    assert any_nonzero  # fixture has <title>/<h1>/<b> wrapped tokens
+    assert set(got) == set(oracle.postings)
+    for term, want in oracle.postings.items():
+        assert got[term] == want, term
