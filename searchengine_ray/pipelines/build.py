@@ -299,16 +299,19 @@ def build_index(
     # ---- 6: near-dup (D3) ----------------------------------------------
     t0 = time.perf_counter()
     if cfg.near_dup_mode == "window":
-        pruned_ids = dedup.simhash_prune_window(extracted)
+        pruned_arr = np.sort(
+            np.fromiter(dedup.simhash_prune_window(extracted), dtype=np.int64)
+        )
     elif cfg.near_dup_mode == "lsh":
-        pruned_ids = {
-            r["docid"] for r in dedup.simhash_prune_lsh(extracted).take_all()
-        }
+        pt = pa.concat_tables(
+            ray.get(dedup.simhash_prune_lsh(extracted).materialize().to_arrow_refs())
+        )
+        pruned_arr = np.sort(pt["docid"].to_numpy())
     else:
-        pruned_ids = set()
-    pruned_neardup = len(pruned_ids)
-    if pruned_ids:
-        pruned_ref = ray.put(np.sort(np.fromiter(pruned_ids, dtype=np.int64)))
+        pruned_arr = np.empty(0, dtype=np.int64)
+    pruned_neardup = int(pruned_arr.size)
+    if pruned_arr.size:
+        pruned_ref = ray.put(pruned_arr)
 
         def drop_pruned(batch: pa.Table) -> pa.Table:
             arr = ray.get(pruned_ref)  # zero-copy numpy

@@ -132,19 +132,34 @@ def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """
     import ray as _ray
 
-    mins = (
+    def block_min(batch: pa.Table) -> pa.Table:
+        """Map-side combine: min docid per distinct simhash within a block
+        (replaces a groupby shuffle — distinct count is bounded by 2^32 so
+        the driver merge below is cheap)."""
+        sims = batch["simhash"].to_numpy().astype(np.uint32)
+        docids = batch["docid"].to_numpy()
+        order = np.argsort(docids, kind="stable")
+        u, first = np.unique(sims[order], return_index=True)
+        return pa.table(
+            {
+                "simhash": pa.array(u.astype(np.int64), pa.int64()),
+                "mind": pa.array(docids[order][first], pa.int64()),
+            }
+        )
+
+    partial = (
         extracted.select_columns(["docid", "simhash"])
-        .groupby("simhash")
-        .min("docid")
+        .map_batches(block_min, batch_format="pyarrow")
+        .materialize()
     )
-    mt = pa.concat_tables(_ray.get(mins.materialize().to_arrow_refs()))
+    mt = pa.concat_tables(_ray.get(partial.to_arrow_refs()))
     if mt.num_rows == 0:
         return ray.data.from_arrow(pa.table({"docid": pa.array([], pa.int64())}))
-    vals = mt["simhash"].to_numpy().astype(np.uint32)
-    vmin = mt["min(docid)"].to_numpy().astype(np.int64)
-    order = np.argsort(vals)
-    sorted_vals = vals[order]
-    sorted_mins = vmin[order]
+    vals_all = mt["simhash"].to_numpy().astype(np.uint32)
+    mins_all = mt["mind"].to_numpy()
+    morder = np.argsort(mins_all, kind="stable")
+    sorted_vals, first = np.unique(vals_all[morder], return_index=True)
+    sorted_mins = mins_all[morder][first]
     # two probe tables keyed by the 16-bit halves: ham(u,v) ≤ 3 ⇒ one half
     # is within ham ≤ 1 (pigeonhole), so 2×17 range probes + a vectorized
     # full-width verify replace the 5,488-mask Hamming-ball enumeration
