@@ -158,7 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": ops.simhash_dedup,
         "ngram_jaccard": ops.ngram_jaccard_pairs,
         "embedding_neardup": ops.embedding_neardup,
+        "knn_ivf": ops.knn_ivf,
         "fingerprint": ops.fingerprint,
+        "token_count_bpe": ops.token_count_bpe,
+        "language_id_trigram": ops.language_id_trigram,
         "media_features": media_features,
     }
 

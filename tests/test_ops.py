@@ -182,3 +182,46 @@ def test_fingerprint_shift_invariance(entry, ray_session, tmp_path):
     assert out[1]["n_fp"] > 0
     # shared suffix ⇒ overlapping fingerprint ranges
     assert out[1]["min_fp"] <= out[2]["max_fp"]
+
+
+def test_knn_ivf_recall(entry, ray_session):
+    """IVF with nprobe=4/16 centroids must recover most of the brute-force
+    top-10 (exact on this small table is common but not guaranteed)."""
+    from searchengine_ray.pipelines import ops
+
+    brute = {}
+    for r in ops.knn_cosine(SF, k=10).take_all():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in ops.knn_ivf(SF, k=10).take_all():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(ivf) == set(brute)
+    recalls = [len(ivf[q] & brute[q]) / len(brute[q]) for q in brute]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # self-vector always lands in its own probed cluster
+    for q, ns in ivf.items():
+        assert q in ns
+
+
+def test_token_count_bpe(entry, ray_session):
+    from searchengine_ray.pipelines import ops
+
+    rows = {r["doc_id"]: r for r in ops.token_count_bpe(SF).take_all()}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(t["doc_id"].to_pylist()[:20], t["text"].to_pylist()[:20]):
+        assert rows[doc_id]["n_ws_tokens"] == len(text.split())
+        assert rows[doc_id]["n_bpe_tokens"] >= rows[doc_id]["n_ws_tokens"]
+
+
+def test_language_id_trigram(entry, ray_session):
+    from searchengine_ray.pipelines import ops
+
+    rows = ops.language_id_trigram(SF).take_all()
+    langs = {r["pred_lang"] for r in rows}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+    assert len(rows) == 500
+    # the synthetic docs are English-ish data vocabulary
+    en = sum(1 for r in rows if r["pred_lang"] == "en")
+    assert en > len(rows) * 0.5
