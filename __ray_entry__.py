@@ -133,6 +133,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_features(sf_dir: str):
         return media.media_features(media.media_from_documents(sf_dir))
 
+    def summaries(sf_dir: str):
+        import ray.data
+
+        from searchengine_ray.stages.summarize import build_summaries
+
+        r = _build_full_index(sf_dir)
+        texts = ray.data.read_parquet(r.texts_dir)
+        return build_summaries(texts)
+
     return {
         # --- search-engine pipelines (SURVEY.md §2; oracle = pytest parity)
         "index_docs": index_docs,
@@ -163,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": ops.token_count_bpe,
         "language_id_trigram": ops.language_id_trigram,
         "media_features": media_features,
+        "summaries": summaries,
     }
 
 

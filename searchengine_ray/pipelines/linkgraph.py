@@ -341,6 +341,141 @@ def pagerank_dataset_join(
     return ranks
 
 
+def hits_dataset_join(
+    edges: ray.data.Dataset,
+    accepted_docids: ray.data.Dataset,
+    last_docid: int,
+    max_iter: int = params.HITS_MAX_ITER,
+    tol: float = params.HITS_TOL,
+) -> ray.data.Dataset:
+    """Fully dataset-native HITS (companion to :func:`pagerank_dataset_join`):
+    hub/auth live in a Dataset joined against the edges each round — the
+    beyond-memory path.  Reference quirks preserved: BOTH recurrences sum
+    the previous auth/hub over a doc's OWN OUT-links (``lib/hits.py:34-37``);
+    per-round L2 normalization; break-before-update convergence (gap
+    docids' round-1 delta of 1 folded in analytically).
+
+    One edges⨝scores join + one grouped double-sum + one left join per
+    round (both raw sums ride the same shuffle).  Returns
+    (docid, hub, auth).
+    """
+    nparts = _cluster_join_partitions()
+    n = last_docid
+    edges = edges.materialize()
+
+    scores = accepted_docids.map_batches(
+        lambda t: pa.table(
+            {
+                "docid": t["docid"],
+                "hub": pa.array([1.0] * t.num_rows, pa.float64()),
+                "auth": pa.array([1.0] * t.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    num_accepted = scores.count()
+    gap_docs = n - num_accepted
+
+    for it in range(max_iter):
+        joined = edges.join(
+            scores,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("dst",),
+            right_on=("docid",),
+        )
+        # hub_new[src] = sum auth[dst]; auth_new[src] = sum hub[dst] — both
+        # contributions keyed by src in ONE shuffle
+        sums = (
+            joined.map_batches(
+                lambda t: pa.table(
+                    {"src": t["src"], "hub_c": t["auth"], "auth_c": t["hub"]}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("src")
+            .sum(["hub_c", "auth_c"])
+        )
+        new = (
+            scores.select_columns(["docid"])
+            .join(
+                sums,
+                join_type="left_outer",
+                num_partitions=nparts,
+                on=("docid",),
+                right_on=("src",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "docid": t["docid"],
+                        "hub_raw": pc.coalesce(
+                            pc.cast(t["sum(hub_c)"], pa.float64()), pa.scalar(0.0)
+                        ),
+                        "auth_raw": pc.coalesce(
+                            pc.cast(t["sum(auth_c)"], pa.float64()), pa.scalar(0.0)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        def _sq(col: str) -> float:
+            return (
+                new.map_batches(
+                    lambda t, c=col: pa.table({"v": pc.multiply(t[c], t[c])}),
+                    batch_format="pyarrow",
+                ).sum("v")
+                or 0.0
+            )
+
+        hn = math.sqrt(_sq("hub_raw"))
+        an = math.sqrt(_sq("auth_raw"))
+
+        normed = new.map_batches(
+            lambda t, h=hn, a=an: pa.table(
+                {
+                    "docid": t["docid"],
+                    "hub": pc.divide(t["hub_raw"], pa.scalar(h))
+                    if h > 0
+                    else pa.array([0.0] * t.num_rows, pa.float64()),
+                    "auth": pc.divide(t["auth_raw"], pa.scalar(a))
+                    if a > 0
+                    else pa.array([0.0] * t.num_rows, pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+        both = scores.join(
+            normed,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("docid",),
+            left_suffix="_old",
+            right_suffix="_new",
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "delta": pc.max_element_wise(
+                        pc.abs(pc.subtract(t["hub_new"], t["hub_old"])),
+                        pc.abs(pc.subtract(t["auth_new"], t["auth_old"])),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        max_delta = both.max("delta") or 0.0
+        if gap_docs > 0 and it == 0:
+            max_delta = max(max_delta, 1.0)
+        if max_delta < tol:
+            break  # break BEFORE adopting (reference quirk)
+        scores = normed
+    return scores
+
+
 def compute_quality(
     edges: ray.data.Dataset,
     docs: ray.data.Dataset,

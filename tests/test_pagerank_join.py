@@ -47,3 +47,22 @@ def test_pagerank_join_full_convergence(built):
     }
     for d, v in got.items():
         assert v == pytest.approx(want[d], rel=1e-12), d
+
+
+def test_hits_join_matches_local(built):
+    edges = ray.data.read_parquet(built.edges_dir)
+    docs = ray.data.read_parquet(built.docs_dir).select_columns(["docid"])
+    src, dst = linkgraph._edges_numpy(edges)
+    want_h, want_a = linkgraph.hits_local(src, dst, built.last_docid, max_iter=3)
+
+    got = {
+        r["docid"]: (r["hub"], r["auth"])
+        for r in linkgraph.hits_dataset_join(
+            edges, docs, built.last_docid, max_iter=3
+        ).take_all()
+    }
+    ids = pq.read_table(built.docs_dir)["docid"].to_pylist()
+    assert set(got) == set(ids)
+    for d in ids:
+        assert got[d][0] == pytest.approx(want_h[d], abs=1e-12), d
+        assert got[d][1] == pytest.approx(want_a[d], abs=1e-12), d
