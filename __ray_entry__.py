@@ -60,12 +60,55 @@ def _build_full_index(sf_dir: str):
         docs = ray.data.read_parquet(result.docs_dir)
         edges = ray.data.read_parquet(result.edges_dir)
         updated = linkgraph.compute_quality(
-            edges, docs, result.last_docid, method="local"
+            edges, docs, result.last_docid, method="auto"
         )
         StageCheckpoint(out_dir, "docs").write(updated)
         with open(quality_marker, "w") as f:
             f.write("ok")
     _INDEX_CACHE[sf_dir] = result
+    return result
+
+
+def _build_simple_index(sf_dir: str):
+    """Build (or resume) the SQL-parity index variant: the SAME distributed
+    pipeline (docid sort, dedup groupbys, posting shuffle, varbyte encode)
+    with simple_tokens / no stemming / no near-dup window, over
+    ``simple_pages_dataset`` — every output is DuckDB-reproducible, so the
+    driver's oracle hash-checks the full build (VERDICT r1 next#1).
+    PageRank/HITS run tol=0 (fixed 25 rounds) so the unrolled SQL oracle
+    matches without expressing early convergence."""
+    key = ("simple", sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    import ray.data
+
+    from searchengine_ray import params
+    from searchengine_ray.pipelines import linkgraph
+    from searchengine_ray.pipelines.build import build_index
+    from searchengine_ray.sources.pages import simple_pages_dataset
+    from searchengine_ray.state.checkpoint import StageCheckpoint
+
+    import searchengine_ray
+
+    tag = hashlib.sha1(
+        f"simple:{os.path.abspath(sf_dir)}:{searchengine_ray.__version__}".encode()
+    ).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"se_ray_simple_{tag}")
+    cfg = params.BuildConfig(
+        tokenizer="simple", near_dup_mode="off", keep_text=False
+    )
+    result = build_index(simple_pages_dataset(sf_dir), out_dir, cfg)
+    quality_marker = os.path.join(out_dir, "_quality_done")
+    if not os.path.exists(quality_marker):
+        docs = ray.data.read_parquet(result.docs_dir)
+        edges = ray.data.read_parquet(result.edges_dir)
+        updated = linkgraph.compute_quality(
+            edges, docs, result.last_docid, method="auto", pr_tol=0.0, hits_tol=0.0
+        )
+        StageCheckpoint(out_dir, "docs").write(updated)
+        with open(quality_marker, "w") as f:
+            f.write("ok")
+    _INDEX_CACHE[key] = result
     return result
 
 
@@ -133,6 +176,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_features(sf_dir: str):
         return media.media_features(media.media_from_documents(sf_dir))
 
+    # ----- SQL-parity build variant: the same distributed pipeline,
+    # DuckDB-checkable end-to-end (docid sort → dedup → posting shuffle →
+    # varbyte encode/decode → linkgraph → BM25 top-k)
+    def index_simple_docs(sf_dir: str):
+        import ray.data
+
+        r = _build_simple_index(sf_dir)
+        return ray.data.read_parquet(r.docs_dir).select_columns(
+            ["docid", "url", "total_tokens", "doc_len"]
+        )
+
+    def index_simple_postings(sf_dir: str):
+        import ray.data
+
+        from searchengine_ray.functions import varbyte
+
+        r = _build_simple_index(sf_dir)
+
+        def decode(batch):
+            import pyarrow as pa
+
+            terms, ids, tfs = [], [], []
+            for row in batch.to_pylist():
+                d, t = varbyte.decode_postings(row["docids_vb"], row["tfs_vb"])
+                terms.extend([row["term"]] * len(d))
+                ids.extend(d.tolist())
+                tfs.extend(t.tolist())
+            return pa.table(
+                {
+                    "term": pa.array(terms, pa.string()),
+                    "docid": pa.array(ids, pa.int64()),
+                    "tf": pa.array(tfs, pa.int64()),
+                }
+            )
+
+        return ray.data.read_parquet(r.segments_dir).map_batches(
+            decode, batch_format="pyarrow"
+        )
+
+    def index_simple_term_df(sf_dir: str):
+        import ray.data
+
+        r = _build_simple_index(sf_dir)
+        return ray.data.read_parquet(r.segments_dir).select_columns(["term", "df"])
+
+    def index_simple_edges(sf_dir: str):
+        import ray.data
+
+        r = _build_simple_index(sf_dir)
+        return ray.data.read_parquet(r.edges_dir)
+
+    def _simple_quality(sf_dir: str, cols: dict):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        r = _build_simple_index(sf_dir)
+
+        def conv(batch: pa.Table) -> pa.Table:
+            out = {"docid": batch["docid"]}
+            for out_name, src in cols.items():
+                f64 = pc.cast(pc.cast(batch[src], pa.float32()), pa.float64())
+                out[out_name] = pc.cast(
+                    pc.round(pc.multiply(f64, pa.scalar(1e9))), pa.int64()
+                )
+            return pa.table(out)
+
+        return ray.data.read_parquet(r.docs_dir).map_batches(
+            conv, batch_format="pyarrow"
+        )
+
+    def index_simple_pagerank(sf_dir: str):
+        return _simple_quality(sf_dir, {"pr_e9": "pr_quality"})
+
+    def index_simple_hits(sf_dir: str):
+        return _simple_quality(
+            sf_dir, {"hub_e9": "hub_quality", "auth_e9": "auth_quality"}
+        )
+
+    def search_simple_bm25(sf_dir: str):
+        import pyarrow as pa
+        import ray.data
+
+        from searchengine_ray.pipelines.query import QueryActor
+
+        r = _build_simple_index(sf_dir)
+        queries = ray.data.from_items(
+            [{"qid": i, "query": q} for i, q in enumerate(SEARCH_QUERIES)]
+        )
+        out = queries.map_batches(
+            QueryActor,
+            fn_constructor_kwargs={"index_dir": r.out_dir, "k": 10, "mode": "bm25"},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=(1, 2),
+        )
+        return out.map_batches(
+            lambda t: pa.table(
+                {
+                    "qid": t["qid"].cast(pa.int64()),
+                    "docid": t["docid"],
+                    "rank": t["rank"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def summaries(sf_dir: str):
         import ray.data
 
@@ -150,6 +300,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_scores": pagerank_scores,
         "search_topk": lambda sf: _search_topk(sf, "reference"),
         "search_bm25_topk": lambda sf: _search_topk(sf, "bm25"),
+        # --- SQL-parity build variant (full pipeline, DuckDB-oracle-checked)
+        "index_simple_docs": index_simple_docs,
+        "index_simple_postings": index_simple_postings,
+        "index_simple_term_df": index_simple_term_df,
+        "index_simple_edges": index_simple_edges,
+        "index_simple_pagerank": index_simple_pagerank,
+        "index_simple_hits": index_simple_hits,
+        "search_simple_bm25": search_simple_bm25,
         # --- SQL-checked text/relational operators
         "term_df": ops.term_df,
         "postings": ops.postings_simple,
@@ -190,9 +348,31 @@ def _stop_list() -> str:
     return ", ".join(f"'{w}'" for w in SQL_STOPWORDS)
 
 
+def _trigram_profile_values() -> str:
+    """The char-trigram language profiles as SQL VALUES rows (lang,
+    priority, gram) — shared verbatim with ops._LANG_TRIGRAMS so the
+    DuckDB oracle scores the exact same tables."""
+    from searchengine_ray.pipelines.ops import _LANG_TRIGRAMS
+
+    rows = []
+    for pri, (lang, grams) in enumerate(_LANG_TRIGRAMS.items()):
+        for g in grams:
+            rows.append(f"('{lang}', {pri}, '{g}')")
+    return ", ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
+    from searchengine_ray.oracle import simple_sql
+
     stops = _stop_list()
     return {
+        "index_simple_docs": simple_sql.docs_sql(),
+        "index_simple_postings": simple_sql.postings_sql(),
+        "index_simple_term_df": simple_sql.term_df_sql(),
+        "index_simple_edges": simple_sql.edges_sql(),
+        "index_simple_pagerank": simple_sql.pagerank_sql(),
+        "index_simple_hits": simple_sql.hits_sql(),
+        "search_simple_bm25": simple_sql.bm25_sql(SEARCH_QUERIES, k=10),
         "term_df": (
             f"SELECT term, count(DISTINCT doc_id) AS df FROM ({_TOKS}) GROUP BY term"
         ),
@@ -248,6 +428,44 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_segment": (
             "SELECT c_mktsegment, count(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+        ),
+        "ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(COALESCE(text,'')), '[^a-z0-9]+'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, ts[CAST(i AS INT)] || ' ' || "
+            "ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2] AS s "
+            "FROM toks, UNNEST(generate_series(1, len(ts) - 2)) u(i) "
+            "WHERE len(ts) >= 3), "
+            "sz AS (SELECT doc_id, count(*) AS m FROM sh GROUP BY doc_id), "
+            "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter "
+            "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT a, b, CAST(inter AS BIGINT) AS inter, "
+            "CAST(sa.m + sb.m - inter AS BIGINT) AS uni "
+            "FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
+            "WHERE inter * 100 >= 50 * (sa.m + sb.m - inter)"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, "
+            "CAST(length(regexp_extract_all(COALESCE(text,''), '\\S+')) AS BIGINT) "
+            "AS n_ws_tokens, "
+            "CAST(length(regexp_extract_all(COALESCE(text,''), "
+            "'[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "language_id_trigram": (
+            "WITH t AS (SELECT doc_id, ' ' || lower(COALESCE(text,'')) || ' ' AS s "
+            "FROM documents), "
+            "g AS (SELECT doc_id, substring(s, CAST(i AS INT), 3) AS gram "
+            "FROM t, UNNEST(generate_series(1, length(s) - 2)) u(i)), "
+            f"prof(lang, pri, gram) AS (VALUES {_trigram_profile_values()}), "
+            "hits AS (SELECT g.doc_id, p.lang, p.pri, count(*) AS h "
+            "FROM g JOIN prof p ON g.gram = p.gram GROUP BY 1, 2, 3), "
+            "best AS (SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY h DESC, pri ASC) AS rn FROM hits) "
+            "SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang "
+            "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

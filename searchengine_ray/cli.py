@@ -144,7 +144,9 @@ def main(argv=None) -> None:
 
     co = sub.add_parser("compute")
     co.add_argument("-o", "--out", required=True)
-    co.add_argument("--method", choices=["local", "dataset"], default="local")
+    co.add_argument(
+        "--method", choices=["auto", "local", "dataset", "join"], default="auto"
+    )
     co.set_defaults(fn=cmd_compute)
 
     se = sub.add_parser("search")

@@ -71,6 +71,11 @@ BLOCK_MAX_SIZE = 128  # postings per block-max block
 class BuildConfig:
     """Knobs for the distributed index build (no reference counterpart)."""
 
+    # extraction/tokenization mode: "reference" = html parse + reference
+    # tokenizer + Porter stem; "simple" = the SQL-parity chain (plain-text
+    # payload, simple_tokens, no stem) that lets a DuckDB oracle hash-check
+    # the identical distributed build end-to-end (stages/extract.py).
+    tokenizer: str = "reference"
     # near-dup mode: "window" replicates the reference's sequential
     # 200-window semantics (parity w/ oracle); "lsh" is the scale path
     # (simhash band LSH, global not windowed); "off" disables D3.

