@@ -446,6 +446,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE inter * 100 >= 50 * (sa.m + sb.m - inter)"
         ),
+        "fingerprint": (
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(COALESCE(text,'')), '[^a-z0-9]+'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, i, CAST(concat('0x', substr(md5("
+            "array_to_string(ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 15)) "
+            "AS BIGINT) AS h FROM t, UNNEST(generate_series(1, len(ts) - 7)) u(i)), "
+            "win AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i "
+            "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh, "
+            "count(*) OVER (PARTITION BY doc_id) AS nh FROM sh), "
+            "sel AS (SELECT DISTINCT doc_id, mh FROM win WHERE i <= nh - 3), "
+            "agg AS (SELECT doc_id, count(*) AS n_fp, min(mh) AS min_fp, "
+            "max(mh) AS max_fp FROM sel GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.n_fp, 1) AS n_fp, "
+            "COALESCE(a.min_fp, 0) AS min_fp, COALESCE(a.max_fp, 0) AS max_fp "
+            "FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
         "token_count_bpe": (
             "SELECT doc_id, "
             "CAST(length(regexp_extract_all(COALESCE(text,''), '\\S+')) AS BIGINT) "

@@ -102,9 +102,25 @@ def run_bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(result.docs_dir)
     edges = ray.data.read_parquet(result.edges_dir)
-    updated = linkgraph.compute_quality(edges, docs, result.last_docid, "local")
+    updated = linkgraph.compute_quality(edges, docs, result.last_docid, "auto")
     StageCheckpoint(out_dir, "docs").write(updated)
     timings["linkgraph"] = time.perf_counter() - t0
+
+    # join-mode rounds (the 10^12-doc path): time 3 PageRank + 3 HITS
+    # dataset-join rounds and report the per-round wall — at this corpus
+    # size the full 25 rounds are pure fixed overhead (auto picks local),
+    # but the per-round cost is what scales, so measure it explicitly
+    t0 = time.perf_counter()
+    accepted = docs.select_columns(["docid"])
+    linkgraph.pagerank_dataset_join(
+        edges, accepted, result.last_docid, max_iter=3, tol=0.0
+    ).materialize()
+    linkgraph.hits_dataset_join(
+        edges, accepted, result.last_docid, max_iter=3, tol=0.0
+    ).materialize()
+    t_join = time.perf_counter() - t0
+    timings["linkgraph_join_6rounds"] = t_join
+    timings["linkgraph_join_per_round"] = t_join / 6.0
 
     # ---- query serving --------------------------------------------------
     from __ray_entry__ import SEARCH_QUERIES

@@ -74,15 +74,16 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            got = _canon(_to_pandas(fn(sf)))
+            raw = _to_pandas(fn(sf))
         except Exception as exc:  # noqa: BLE001
             print(f"{name:28s} ERROR running query: {exc!r}")
             bad += 1
             continue
         dt = time.perf_counter() - t0
         if name not in sqls:
-            print(f"{name:28s} rows={len(got):>7} (no oracle) [{dt:.1f}s]")
+            print(f"{name:28s} rows={len(raw):>7} (no oracle) [{dt:.1f}s]")
             continue
+        got = _canon(raw)
         try:
             want = _canon(con.execute(sqls[name]).df())
         except Exception as exc:  # noqa: BLE001

@@ -68,11 +68,18 @@ def cmd_compute(args) -> None:
 
 
 def cmd_search(args) -> None:
+    import os
+
     _ray()
     from searchengine_ray.pipelines.query import QueryEngine
+    from searchengine_ray.stages.summarize import SummaryStore
 
     engine = QueryEngine(args.out)
     mode = engine.search_bm25 if args.bm25 else engine.search
+    store = None
+    if args.summaries:
+        sdir = os.path.join(args.out, "summaries")
+        store = SummaryStore(sdir) if os.path.isdir(sdir) else None
 
     def run(q: str) -> None:
         t0 = time.perf_counter()
@@ -81,6 +88,9 @@ def cmd_search(args) -> None:
         print(f"# {q!r} ({dt:.1f} ms)")
         for rank, (docid, score, url) in enumerate(hits, 1):
             print(f"{rank:3d}. {score:.6f}  doc {docid}  {url}")
+            if args.summaries:
+                s = store.get(docid) if store else SummaryStore.FALLBACK
+                print(f"     {s}")
 
     if args.query:
         for q in args.query:
@@ -92,6 +102,17 @@ def cmd_search(args) -> None:
             if not q:
                 break
             run(q)
+
+
+def cmd_serve(args) -> None:
+    """Web frontend (reference ``search.py``): query box, 5/10/20/all
+    selector, summaries + latency in the rendering."""
+    _ray()
+    from searchengine_ray.web import create_app
+
+    app = create_app(args.out, bm25=args.bm25)
+    print(f"serving http://{args.host}:{args.port}/ (ctrl-c to stop)")
+    app.run(host=args.host, port=args.port, debug=False)
 
 
 def cmd_summarize(args) -> None:
@@ -153,8 +174,16 @@ def main(argv=None) -> None:
     se.add_argument("-o", "--out", required=True)
     se.add_argument("-k", type=int, default=5)
     se.add_argument("--bm25", action="store_true")
+    se.add_argument("--summaries", action="store_true")
     se.add_argument("query", nargs="*")
     se.set_defaults(fn=cmd_search)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("-o", "--out", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("-p", "--port", type=int, default=5000)
+    sv.add_argument("--bm25", action="store_true")
+    sv.set_defaults(fn=cmd_serve)
 
     su = sub.add_parser("summarize")
     su.add_argument("-o", "--out", required=True)

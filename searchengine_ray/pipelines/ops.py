@@ -269,10 +269,21 @@ def language_id_trigram(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _md5_60(s: str) -> int:
+    """60-bit shingle hash shared VERBATIM with the DuckDB oracle:
+    ``CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)``."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def fingerprint(sf_dir: str, w: int = 8, window: int = 4) -> ray.data.Dataset:
-    """Winnowing document fingerprints (Schleimer et al. 2003): rolling
-    CRC64 over ``w``-token shingles, per ``window`` keep the min hash.
-    Returns per-doc fingerprint count and min/max fingerprint (ints)."""
+    """Winnowing document fingerprints (Schleimer et al. 2003): md5-60 over
+    ``w``-token shingles, per ``window`` of consecutive shingles keep the
+    min hash (full windows only; docs too short for one window get the
+    {0} sentinel).  Returns per-doc fingerprint count and min/max
+    fingerprint — ints, hash shared with SQL, so the DuckDB window-frame
+    oracle checks it exactly."""
 
     def fp(batch: pa.Table) -> pa.Table:
         ids, counts, mins, maxs = [], [], [], []
@@ -281,7 +292,7 @@ def fingerprint(sf_dir: str, w: int = 8, window: int = 4) -> ray.data.Dataset:
         ):
             toks = tokenizer.simple_tokens(text or "")
             hs = [
-                hashing.crc64(" ".join(toks[i : i + w]).encode()) & 0x7FFFFFFFFFFFFFFF
+                _md5_60(" ".join(toks[i : i + w]))
                 for i in range(max(0, len(toks) - w + 1))
             ]
             sel = {

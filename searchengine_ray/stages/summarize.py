@@ -71,7 +71,7 @@ class SummaryStore:
     missing docs get the reference's fallback string
     (``lib/queryproc.py:296-297``)."""
 
-    FALLBACK = "summary not found"
+    FALLBACK = "Summary not found"  # exact string, lib/queryproc.py:296-297
 
     def __init__(self, summaries_dir: str) -> None:
         import pyarrow.parquet as pq

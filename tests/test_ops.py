@@ -65,6 +65,10 @@ SQL_CHECKED = [
     "lineitem_agg",
     "orders_by_segment",
     "knn_cosine",
+    "token_count_bpe",
+    "language_id_trigram",
+    "ngram_jaccard",
+    "fingerprint",
 ]
 
 
