@@ -111,7 +111,8 @@ def run_bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     # size the full 25 rounds are pure fixed overhead (auto picks local),
     # but the per-round cost is what scales, so measure it explicitly
     t0 = time.perf_counter()
-    accepted = docs.select_columns(["docid"])
+    # fresh read: the quality write above replaced the docs files
+    accepted = ray.data.read_parquet(result.docs_dir).select_columns(["docid"])
     linkgraph.pagerank_dataset_join(
         edges, accepted, result.last_docid, max_iter=3, tol=0.0
     ).materialize()

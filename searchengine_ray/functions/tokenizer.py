@@ -27,26 +27,96 @@ from searchengine_ray.functions._stopwords_data import STOPWORDS
 from searchengine_ray.functions.porter import CachedStemmer
 
 # words possibly containing internal apostrophes or periods, else any single
-# non-space, non-word symbol
+# non-space, non-word symbol (the round-1 approximation; kept as the fast
+# fallback — the reference path now uses the Treebank rules below)
 _TOKEN_RE = re.compile(r"[A-Za-z0-9_]+(?:['.][A-Za-z0-9_]+)*|[^\sA-Za-z0-9_]")
 
 _SIMPLE_RE = re.compile(r"[^a-z0-9]+")
 
+# ---------------------------------------------------------------- Treebank
+# Penn Treebank tokenization rules (Robert McIntyre's public tokenizer.sed,
+# as documented for NLTK's TreebankWordTokenizer — the reference's M6,
+# ``lib/tokenize.py:16-45``).  Implemented from the published rule list,
+# space-insertion only (characters are never rewritten, so every token is a
+# verbatim substring and spans align to the source — NLTK's span_tokenize
+# maps its ``/'' conversions back the same way).  Notable behaviors this
+# reproduces (and the round-1 regex tokenizer did not): contraction
+# splitting (``don't`` → ``do`` + ``n't``, ``cannot`` → ``can`` + ``not``)
+# and the final-period rule — only the LAST period of the text is split
+# off, so mid-document sentence-enders stay attached (``York.``), exactly
+# what indexing whole documents through Treebank produces.
+_TB_STARTING = [
+    (re.compile(r"([«“‘„]|[`]+)"), r" \1 "),
+    (re.compile(r"(?i)(')(?!re|ve|ll|m|t|s|d|n)(\w)\b"), r"\1 \2"),
+]
+_TB_PUNCT = [
+    (re.compile(r"([^\.])(\.)([\]\)}>\"\'»”’]*)\s*$"), r"\1 \2\3 "),
+    (re.compile(r"([:,])([^\d])"), r" \1 \2"),
+    (re.compile(r"([:,])$"), r" \1 "),
+    (re.compile(r"\.{2,}"), r" \g<0> "),
+    (re.compile(r"[;@#$%&]"), r" \g<0> "),
+    (re.compile(r"[?!]"), r" \g<0> "),
+    (re.compile(r"([^'])' "), r"\1 ' "),
+    (re.compile(r"[*]"), r" \g<0> "),
+]
+_TB_PARENS = [
+    (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
+    (re.compile(r"--"), r" -- "),
+]
+_TB_ENDING = [
+    (re.compile(r'["»”’]'), r" \g<0> "),
+    (re.compile(r"(\S)('')"), r"\1 \2 "),
+    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
+    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
+]
+_TB_CONTRACTIONS = [
+    re.compile(r"(?i)\b(can)(not)\b"),
+    re.compile(r"(?i)\b(d)('ye)\b"),
+    re.compile(r"(?i)\b(gim)(me)\b"),
+    re.compile(r"(?i)\b(gon)(na)\b"),
+    re.compile(r"(?i)\b(got)(ta)\b"),
+    re.compile(r"(?i)\b(lem)(me)\b"),
+    re.compile(r"(?i)\b(mor)('n)\b"),
+    re.compile(r"(?i)\b(wan)(na)\s"),
+    re.compile(r"(?i) ('t)(is)\b"),
+    re.compile(r"(?i) ('t)(was)\b"),
+]
+
+
+def treebank_tokens(text: str) -> list[str]:
+    """Penn-Treebank tokens of ``text`` (verbatim substrings, in order)."""
+    for pat, rep in _TB_STARTING + _TB_PUNCT + _TB_PARENS:
+        text = pat.sub(rep, text)
+    text = " " + text + " "
+    for pat, rep in _TB_ENDING:
+        text = pat.sub(rep, text)
+    for pat in _TB_CONTRACTIONS:
+        text = pat.sub(r" \1 \2 ", text)
+    return text.split()
+
 
 def span_tokenize(text: str):
-    """Yield (start, end) spans of tokens."""
-    for m in _TOKEN_RE.finditer(text):
-        yield m.span()
+    """Yield (start, end) spans of Treebank tokens, aligned to the source
+    text by cursor scan (every token is a verbatim substring in order)."""
+    cursor = 0
+    for tok in treebank_tokens(text):
+        start = text.index(tok, cursor)
+        end = start + len(tok)
+        yield start, end
+        # contraction splits overlap their source word ("cannot" -> "can",
+        # "not"): advance to the END of this token, never past it
+        cursor = end
 
 
 def tokenize(text: str) -> list[str]:
     """Lowercased, stripped tokens in order of appearance.
 
     Mirrors the reference call-shape ``tokenize(text, n=1)[0]``
-    (``lib/tokenize.py:16-45``; n-grams are unused in practice — every call
-    site passes n=1, SURVEY.md §2.2 M6).
+    (``lib/tokenize.py:16-45``: TreebankWordTokenizer.span_tokenize, then
+    ``text[start:end].lower().strip()`` per span; n-grams are unused in
+    practice — every call site passes n=1, SURVEY.md §2.2 M6).
     """
-    return [m.group(0).lower().strip() for m in _TOKEN_RE.finditer(text)]
+    return [text[s:e].lower().strip() for s, e in span_tokenize(text)]
 
 
 def ngrams(tokens: list[str], n: int) -> list[str]:

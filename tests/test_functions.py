@@ -125,8 +125,9 @@ def test_tokenize_code_query():
     ]
 
 
-def test_tokenize_keeps_internal_apostrophe_and_period():
-    assert tokenizer.tokenize("don't stop 3.14") == ["don't", "stop", "3.14"]
+def test_tokenize_treebank_contractions_and_numbers():
+    # Treebank splits contractions; decimals stay single tokens
+    assert tokenizer.tokenize("don't stop 3.14") == ["do", "n't", "stop", "3.14"]
 
 
 def test_simple_tokens_matches_duckdb():
