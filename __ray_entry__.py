@@ -30,6 +30,17 @@ SEARCH_QUERIES = [
     "slow scan filter sort",
 ]
 
+# queries for the SQL-checked reference-scorer entry over the simple index:
+# corpus-vocabulary words only, none in the 174-word stopword list (the
+# validation heap rule is identity for these — see oracle/simple_sql.py)
+SIMPLE_SCORER_QUERIES = [
+    "hash join merge",
+    "window batch stream",
+    "table scan sort",
+    "spark stream window batch",
+    "fast key order part",
+]
+
 _INDEX_CACHE: dict[str, Any] = {}
 
 
@@ -255,7 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, {"hub_e9": "hub_quality", "auth_e9": "auth_quality"}
         )
 
-    def search_simple_bm25(sf_dir: str):
+    def _search_simple(sf_dir: str, mode: str, qs: list[str], k: int):
         import pyarrow as pa
         import ray.data
 
@@ -263,11 +274,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         r = _build_simple_index(sf_dir)
         queries = ray.data.from_items(
-            [{"qid": i, "query": q} for i, q in enumerate(SEARCH_QUERIES)]
+            [{"qid": i, "query": q} for i, q in enumerate(qs)]
         )
         out = queries.map_batches(
             QueryActor,
-            fn_constructor_kwargs={"index_dir": r.out_dir, "k": 10, "mode": "bm25"},
+            fn_constructor_kwargs={"index_dir": r.out_dir, "k": k, "mode": mode},
             batch_format="pyarrow",
             batch_size=4,
             concurrency=(1, 2),
@@ -282,6 +293,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             batch_format="pyarrow",
         )
+
+    def search_simple_bm25(sf_dir: str):
+        return _search_simple(sf_dir, "bm25", SEARCH_QUERIES, 10)
+
+    def search_simple_reference(sf_dir: str, k: int = 5):
+        """Reference-exact scorer over the simple index, ranked on the
+        1e-9-quantized net score (both sides — see
+        oracle/simple_sql.reference_scorer_sql): candidate-normalized
+        near-ties are otherwise decided by f64 summation order."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from searchengine_ray.pipelines.query import QueryActor
+
+        r = _build_simple_index(sf_dir)
+        queries = ray.data.from_items(
+            [{"qid": i, "query": q} for i, q in enumerate(SIMPLE_SCORER_QUERIES)]
+        )
+        scored = queries.map_batches(
+            QueryActor,
+            fn_constructor_kwargs={
+                "index_dir": r.out_dir,
+                "k": None,  # score ALL candidates; top-k after quantization
+                "mode": "reference",
+            },
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=(1, 2),
+        )
+
+        def topk(group: pa.Table) -> pa.Table:
+            q9 = pc.round(group["score"], ndigits=9)
+            idx = pc.sort_indices(
+                pa.table({"s": q9, "d": group["docid"]}),
+                sort_keys=[("s", "descending"), ("d", "ascending")],
+            )
+            g = group.take(idx[:k])
+            return pa.table(
+                {
+                    "qid": g["qid"].cast(pa.int64()),
+                    "docid": g["docid"],
+                    "rank": pa.array(range(1, g.num_rows + 1), pa.int64()),
+                }
+            )
+
+        return scored.groupby("qid").map_groups(topk, batch_format="pyarrow")
 
     def summaries(sf_dir: str):
         import ray.data
@@ -308,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_simple_pagerank": index_simple_pagerank,
         "index_simple_hits": index_simple_hits,
         "search_simple_bm25": search_simple_bm25,
+        "search_simple_reference": search_simple_reference,
         # --- SQL-checked text/relational operators
         "term_df": ops.term_df,
         "postings": ops.postings_simple,
@@ -373,6 +432,9 @@ def oracle_sql() -> dict[str, str]:
         "index_simple_pagerank": simple_sql.pagerank_sql(),
         "index_simple_hits": simple_sql.hits_sql(),
         "search_simple_bm25": simple_sql.bm25_sql(SEARCH_QUERIES, k=10),
+        "search_simple_reference": simple_sql.reference_scorer_sql(
+            SIMPLE_SCORER_QUERIES, k=5
+        ),
         "term_df": (
             f"SELECT term, count(DISTINCT doc_id) AS df FROM ({_TOKS}) GROUP BY term"
         ),

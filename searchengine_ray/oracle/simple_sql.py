@@ -77,9 +77,9 @@ def edges_sql() -> str:
     return f"WITH {_BASE}, {_EDGES} SELECT src, dst FROM edges"
 
 
-def pagerank_sql(iters: int = params.PR_MAX_ITER) -> str:
-    """Unrolled fixed-iteration PageRank with the reference formula
-    ``new[d] = (1-0.85) + 0.85·Σ pr[u]/outdeg(u)`` (``lib/pagerank.py:40-43``;
+def _pagerank_ctes(iters: int) -> str:
+    """The unrolled PageRank CTE chain p0..p{iters} (reference formula
+    ``new[d] = (1-0.85) + 0.85·Σ pr[u]/outdeg(u)``, ``lib/pagerank.py:40-43``;
     no 1/n teleport, dangling mass not redistributed)."""
     ctes = [
         "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
@@ -94,17 +94,22 @@ def pagerank_sql(iters: int = params.PR_MAX_ITER) -> str:
             "JOIN edges e ON e.src = p.docid JOIN outdeg o ON o.src = e.src "
             "GROUP BY e.dst) s USING (docid))"
         )
+    return ", ".join(ctes)
+
+
+def pagerank_sql(iters: int = params.PR_MAX_ITER) -> str:
     return (
-        f"WITH {_BASE}, {_EDGES}, {', '.join(ctes)} "
+        f"WITH {_BASE}, {_EDGES}, {_pagerank_ctes(iters)} "
         "SELECT docid, CAST(round(CAST(CAST(r AS FLOAT) AS DOUBLE) * 1000000000) "
         f"AS BIGINT) AS pr_e9 FROM p{iters}"
     )
 
 
-def hits_sql(iters: int = params.HITS_MAX_ITER) -> str:
-    """Unrolled fixed-iteration HITS with the reference's out-link quirk:
-    BOTH hub and auth sum the previous auth/hub over a doc's OWN out-links
-    (``lib/hits.py:34-37``), L2-normalized per iteration."""
+def _hits_ctes(iters: int) -> str:
+    """The unrolled HITS CTE chain h0..h{iters} with the reference's
+    out-link quirk: BOTH hub and auth sum the previous auth/hub over a
+    doc's OWN out-links (``lib/hits.py:34-37``), L2-normalized per
+    iteration."""
     ctes = ["h0 AS MATERIALIZED (SELECT docid, 1.0 AS hub, 1.0 AS auth FROM base)"]
     for i in range(1, iters + 1):
         ctes.append(
@@ -126,13 +131,118 @@ def hits_sql(iters: int = params.HITS_MAX_ITER) -> str:
             f"THEN auth_raw / (SELECT an FROM n{i}) ELSE 0.0 END AS auth "
             f"FROM r{i})"
         )
+    return ", ".join(ctes)
+
+
+def hits_sql(iters: int = params.HITS_MAX_ITER) -> str:
     return (
-        f"WITH {_BASE}, {_EDGES}, {', '.join(ctes)} "
+        f"WITH {_BASE}, {_EDGES}, {_hits_ctes(iters)} "
         "SELECT docid, "
         "CAST(round(CAST(CAST(hub AS FLOAT) AS DOUBLE) * 1000000000) AS BIGINT) "
         "AS hub_e9, "
         "CAST(round(CAST(CAST(auth AS FLOAT) AS DOUBLE) * 1000000000) AS BIGINT) "
         f"AS auth_e9 FROM h{iters}"
+    )
+
+
+def reference_scorer_sql(queries: list[str], k: int = 5) -> str:
+    """The reference-exact scorer (``lib/queryproc.py:45-162`` semantics as
+    implemented by ``QueryEngine.search``) over the simple index, in SQL:
+    conjunctive intersection, intersected-df idf ``ln((1+N)/(1+C))`` (A5
+    quirk), importance-bug 0.8 multiplier, cosine with the 0.4 gate,
+    candidate-set L2 normalization of tfidf-sum / cosine / pr / hub / auth,
+    and the 0.73/0.27 · 0.61/0.39 · 0.59/0.23/0.18 mixes — float64
+    end-to-end with the same literals/parenthesization (derived constants
+    written as ``(1.0 - x)`` exactly as params.py computes them).  Quality
+    scores pass through the stored float32 (CAST AS FLOAT), matching what
+    the engine reads back.  Zero-df query terms drop out exactly like the
+    validation pass; queries must avoid the 174-word stopword list (the
+    heap-readmission rule is not modelled).  Returns (qid, rank, docid),
+    ranked net DESC, docid ASC, top-``k``."""
+    from searchengine_ray.functions.tokenizer import simple_tokens
+
+    vals = []
+    for qid, q in enumerate(queries):
+        counts: dict[str, int] = {}
+        for t in simple_tokens(q):
+            counts[t] = counts.get(t, 0) + 1
+        for term, freq in counts.items():
+            vals.append(f"({qid}, '{term}', {freq})")
+    pr_iters = params.PR_MAX_ITER
+    hits_iters = params.HITS_MAX_ITER
+    return (
+        f"WITH {_BASE}, {_EDGES}, {_pagerank_ctes(pr_iters)}, "
+        f"{_hits_ctes(hits_iters)}, "
+        "qpr AS (SELECT docid, CAST(CAST(r AS FLOAT) AS DOUBLE) AS pr "
+        f"FROM p{pr_iters}), "
+        "qha AS (SELECT docid, CAST(CAST(hub AS FLOAT) AS DOUBLE) AS hub, "
+        f"CAST(CAST(auth AS FLOAT) AS DOUBLE) AS auth FROM h{hits_iters}), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base), "
+        f"qraw(qid, term, freq) AS (VALUES {', '.join(vals)}), "
+        # zero-df terms drop exactly like the validation pass
+        "q AS (SELECT * FROM qraw WHERE term IN (SELECT term FROM post)), "
+        "qn AS (SELECT qid, count(*) AS nt, CAST(sum(freq) AS DOUBLE) AS qtotal "
+        "FROM q GROUP BY qid), "
+        # conjunctive intersection (J3): docs containing ALL surviving terms
+        "cand AS (SELECT q.qid, p.docid FROM q JOIN post p USING (term) "
+        "JOIN qn ON qn.qid = q.qid GROUP BY q.qid, p.docid, qn.nt "
+        "HAVING count(*) = qn.nt), "
+        "csize AS (SELECT qid, CAST(count(*) AS BIGINT) AS c FROM cand "
+        "GROUP BY qid), "
+        # intersected-df idf quirk (A5): same idf for every term
+        "qidf AS (SELECT qid, ln((1.0 + (SELECT n FROM nn)) / (1.0 + c)) AS idf "
+        "FROM csize), "
+        # tfidf = ((tf / total_tokens) * idf) * 0.8  (importance bug, M9)
+        "tfidf AS (SELECT c.qid, c.docid, p.term, "
+        "((CAST(p.tf AS DOUBLE) / d.total_tokens) * i.idf) * 0.8 AS w "
+        "FROM cand c JOIN q ON q.qid = c.qid "
+        "JOIN post p ON p.docid = c.docid AND p.term = q.term "
+        "JOIN dl d ON d.docid = c.docid JOIN qidf i ON i.qid = c.qid), "
+        "dsum AS (SELECT qid, docid, sum(w) AS s FROM tfidf GROUP BY qid, docid), "
+        "qvec AS (SELECT q.qid, q.term, "
+        "(CAST(q.freq AS DOUBLE) / qn.qtotal) * i.idf AS qw "
+        "FROM q JOIN qn ON qn.qid = q.qid JOIN qidf i ON i.qid = q.qid), "
+        "qnorm AS (SELECT qid, sqrt(sum(qw * qw)) AS qn FROM qvec GROUP BY qid), "
+        "dnorm AS (SELECT qid, docid, sqrt(sum(w * w)) AS dn FROM tfidf "
+        "GROUP BY qid, docid), "
+        "dot AS (SELECT t.qid, t.docid, sum(t.w * v.qw) AS dp FROM tfidf t "
+        "JOIN qvec v ON v.qid = t.qid AND v.term = t.term GROUP BY t.qid, t.docid), "
+        "cosine AS (SELECT d.qid, d.docid, CASE WHEN dn.dn * q.qn > 0 "
+        "THEN d.dp / (dn.dn * q.qn) ELSE 0.0 END AS cos FROM dot d "
+        "JOIN dnorm dn ON dn.qid = d.qid AND dn.docid = d.docid "
+        "JOIN qnorm q ON q.qid = d.qid), "
+        "snorm AS (SELECT qid, sqrt(sum(s * s)) AS sn FROM dsum GROUP BY qid), "
+        "cnorm AS (SELECT qid, sqrt(sum(cos * cos)) AS cn FROM cosine "
+        "GROUP BY qid), "
+        "prn AS (SELECT c.qid, sqrt(sum(p.pr * p.pr)) AS v FROM cand c "
+        "JOIN qpr p ON p.docid = c.docid GROUP BY c.qid), "
+        "hn AS (SELECT c.qid, sqrt(sum(h.hub * h.hub)) AS v FROM cand c "
+        "JOIN qha h ON h.docid = c.docid GROUP BY c.qid), "
+        "an AS (SELECT c.qid, sqrt(sum(h.auth * h.auth)) AS v FROM cand c "
+        "JOIN qha h ON h.docid = c.docid GROUP BY c.qid), "
+        "scored AS (SELECT c.qid, c.docid, "
+        "0.61 * (CASE WHEN co.cos > 0.4 THEN "
+        "0.73 * (CASE WHEN sn.sn > 0 THEN ds.s / sn.sn ELSE 0.0 END) + "
+        "(1.0 - 0.73) * (CASE WHEN cn.cn > 0 THEN co.cos / cn.cn ELSE 0.0 END) "
+        "ELSE 0.0 END) + (1.0 - 0.61) * ("
+        "0.59 * (CASE WHEN prn.v > 0 THEN p.pr / prn.v ELSE 0.0 END) + "
+        "0.23 * (CASE WHEN hn.v > 0 THEN h.hub / hn.v ELSE 0.0 END) + "
+        "0.18 * (CASE WHEN an.v > 0 THEN h.auth / an.v ELSE 0.0 END)) AS net "
+        "FROM cand c "
+        "JOIN dsum ds ON ds.qid = c.qid AND ds.docid = c.docid "
+        "JOIN cosine co ON co.qid = c.qid AND co.docid = c.docid "
+        "JOIN snorm sn ON sn.qid = c.qid JOIN cnorm cn ON cn.qid = c.qid "
+        "JOIN qpr p ON p.docid = c.docid JOIN qha h ON h.docid = c.docid "
+        "JOIN prn ON prn.qid = c.qid JOIN hn ON hn.qid = c.qid "
+        "JOIN an ON an.qid = c.qid) "
+        # rank on the 1e-9-quantized score: the candidate-normalized mix
+        # produces near-exact ties (word-soup docs with identical tf
+        # structure) whose f64 ordering depends on summation order — the
+        # quantization makes the comparison deterministic on both sides
+        # (the Ray entry ranks on the same np.round(net, 9))
+        "SELECT qid, docid, rank FROM (SELECT qid, docid, row_number() OVER ("
+        "PARTITION BY qid ORDER BY round(net, 9) DESC, docid ASC) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
     )
 
 

@@ -381,13 +381,13 @@ def _verified_prune(
     id_name: str,
     nparts: int = 8,
 ) -> ray.data.Dataset:
-    """Shared LSH tail: dedup candidate pairs, join the per-id payload back
+    """Shared LSH tail: join the per-id payload back onto candidate pairs
     (a then b), verify each pair, return (id_name, kept_by) with the lowest
     surviving partner per pruned id.  The payload never rides the banding
-    shuffle — only the rare candidate pairs are joined (VERDICT r1 #4)."""
-    cand = cand.groupby(["a", "b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
-    )
+    shuffle — only the rare candidate pairs are joined (VERDICT r1 #4).
+    Duplicate pairs from multiple colliding bands are NOT pre-deduped: the
+    redundant verifies are bounded by the band count and the final
+    min-aggregate collapses them — cheaper than an extra shuffle."""
     pa_ds = payload.map_batches(
         lambda t: pa.table({"a": t["id"], "pay_a": t["pay"]}),
         batch_format="pyarrow",

@@ -23,6 +23,7 @@ SIMPLE_ENTRIES = [
     "index_simple_pagerank",
     "index_simple_hits",
     "search_simple_bm25",
+    "search_simple_reference",
 ]
 
 
