@@ -317,9 +317,14 @@ def simple_pages_dataset(sf_dir: str):
     REAL distributed build (docid sort, dedup groupbys, posting shuffle,
     varbyte encode/decode) end-to-end.
 
-    Oracle assumption (holds for the driver's testdata): document texts
-    are unique, so the D1/D2 dedup stages run but prune nothing — the SQL
-    side does not have to model content dedup over the link payload.
+    Every ``doc_id % 7 == 3`` document additionally emits an EXACT
+    duplicate page under ``https://z.example.org/...`` — the z prefix sorts
+    after every original, so originals keep docids 1..n and the D2
+    exact-hash dedup must prune every duplicate (first-wins by canonical
+    docid) for the oracles to hold: the docs/postings/edges/PageRank
+    comparisons therefore externally verify the dedup groupbys too, with
+    no oracle-side modelling.  (Document texts in the driver's testdata
+    are unique, so no accidental extra dedup fires.)
     """
     import pyarrow.parquet as pq
     import ray.data
@@ -344,6 +349,16 @@ def simple_pages_dataset(sf_dir: str):
                     "lang": lang,
                 }
             )
+            if doc_id % 7 == 3:  # planted exact dup — D2 must prune it
+                rows.append(
+                    {
+                        "url": f"https://z.example.org/{doc_id:08d}",
+                        "warc_ts": _EPOCH + datetime.timedelta(seconds=doc_id),
+                        "html": payload.encode("utf-8"),
+                        "text": text or "",
+                        "lang": lang,
+                    }
+                )
         return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
     return ray.data.read_parquet(
