@@ -187,6 +187,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_features(sf_dir: str):
         return media.media_features(media.media_from_documents(sf_dir))
 
+    def media_meta(sf_dir: str):
+        """The SQL-expressible slice of the multimodal stage output
+        (media_id, media_type, n_bytes) — the float feature vector stays
+        rows-only (fake-decode CRC features aren't SQL)."""
+        return media.media_features(media.media_from_documents(sf_dir)).select_columns(
+            ["media_id", "media_type", "n_bytes"]
+        )
+
     # ----- SQL-parity build variant: the same distributed pipeline,
     # DuckDB-checkable end-to-end (docid sort → dedup → posting shuffle →
     # varbyte encode/decode → linkgraph → BM25 top-k)
@@ -389,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": ops.token_count_bpe,
         "language_id_trigram": ops.language_id_trigram,
         "media_features": media_features,
+        "media_meta": media_meta,
         "summaries": summaries,
     }
 
@@ -507,6 +516,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sa.m + sb.m - inter AS BIGINT) AS uni "
             "FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE inter * 100 >= 50 * (sa.m + sb.m - inter)"
+        ),
+        "media_meta": (
+            "SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, "
+            "CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes "
+            "FROM documents"
         ),
         "fingerprint": (
             "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("

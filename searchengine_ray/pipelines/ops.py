@@ -320,13 +320,29 @@ def fingerprint(sf_dir: str, w: int = 8, window: int = 4) -> ray.data.Dataset:
 
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact text dedup: one row per distinct text — surviving (min) doc_id
-    and duplicate count.  Hash-groupby on the text key."""
+    and duplicate count.  The shuffle key is a 128-bit md5 of the text, so
+    only 16 B/doc moves through the groupby instead of the full document
+    (collision probability ~1e-21 at 10^9 docs; the DuckDB oracle groups by
+    the text itself, so a collision would surface as a row-count mismatch)."""
+    import hashlib
+
+    def key(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5((t or "").encode()).digest()
+            for t in _acol(batch, "text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.binary()),
+                "doc_id": pc.cast(_acol(batch, "doc_id"), pa.int64()),
+            }
+        )
+
     out = (
         _docs_text(sf_dir)
-        .groupby("text")
-        .aggregate(
-            ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count()
-        )
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count())
     )
     return out.map_batches(
         lambda t: pa.table(
