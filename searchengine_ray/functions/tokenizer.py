@@ -53,45 +53,39 @@ _TB_PUNCT = [
     (re.compile(r"([^\.])(\.)([\]\)}>\"\'»”’]*)\s*$"), r"\1 \2\3 "),
     (re.compile(r"([:,])([^\d])"), r" \1 \2"),
     (re.compile(r"([:,])$"), r" \1 "),
-    (re.compile(r"\.{2,}"), r" \g<0> "),
-    (re.compile(r"[;@#$%&]"), r" \g<0> "),
-    (re.compile(r"[?!]"), r" \g<0> "),
+    # all context-free "pad me" symbols in ONE pass (was 7 separate subs —
+    # they are mutually disjoint and only insert spaces, so order-safe):
+    # ellipses, sentence/symbol punctuation, parens/brackets, dashes, quotes
+    (re.compile(r"\.{2,}|--|[;@#$%&?!*\]\[\(\)\{\}<>\"»”’]"), r" \g<0> "),
     (re.compile(r"([^'])' "), r"\1 ' "),
-    (re.compile(r"[*]"), r" \g<0> "),
-]
-_TB_PARENS = [
-    (re.compile(r"[\]\[\(\)\{\}<>]"), r" \g<0> "),
-    (re.compile(r"--"), r" -- "),
 ]
 _TB_ENDING = [
-    (re.compile(r'["»”’]'), r" \g<0> "),
     (re.compile(r"(\S)('')"), r"\1 \2 "),
     (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
     (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
 ]
-_TB_CONTRACTIONS = [
-    re.compile(r"(?i)\b(can)(not)\b"),
-    re.compile(r"(?i)\b(d)('ye)\b"),
-    re.compile(r"(?i)\b(gim)(me)\b"),
-    re.compile(r"(?i)\b(gon)(na)\b"),
-    re.compile(r"(?i)\b(got)(ta)\b"),
-    re.compile(r"(?i)\b(lem)(me)\b"),
-    re.compile(r"(?i)\b(mor)('n)\b"),
-    re.compile(r"(?i)\b(wan)(na)\s"),
-    re.compile(r"(?i) ('t)(is)\b"),
-    re.compile(r"(?i) ('t)(was)\b"),
-]
+# the contraction table as ONE alternation (was 10 case-insensitive passes;
+# a sub with callback splits at the branch that matched)
+_TB_CONTR = re.compile(
+    r"\b(?:(can)(not)|(d)('ye)|(gim)(me)|(gon)(na)|(got)(ta)|(lem)(me)"
+    r"|(mor)('n))\b|\b(wan)(na)(?=\s)| ('t)(is)\b| ('t)(was)\b",
+    re.IGNORECASE,
+)
+
+
+def _contr_sub(m: "re.Match") -> str:
+    a, b = (g for g in m.groups() if g is not None)
+    return f" {a} {b} "
 
 
 def treebank_tokens(text: str) -> list[str]:
     """Penn-Treebank tokens of ``text`` (verbatim substrings, in order)."""
-    for pat, rep in _TB_STARTING + _TB_PUNCT + _TB_PARENS:
+    for pat, rep in _TB_STARTING + _TB_PUNCT:
         text = pat.sub(rep, text)
     text = " " + text + " "
     for pat, rep in _TB_ENDING:
         text = pat.sub(rep, text)
-    for pat in _TB_CONTRACTIONS:
-        text = pat.sub(r" \1 \2 ", text)
+    text = _TB_CONTR.sub(_contr_sub, text)
     return text.split()
 
 
@@ -114,9 +108,13 @@ def tokenize(text: str) -> list[str]:
     Mirrors the reference call-shape ``tokenize(text, n=1)[0]``
     (``lib/tokenize.py:16-45``: TreebankWordTokenizer.span_tokenize, then
     ``text[start:end].lower().strip()`` per span; n-grams are unused in
-    practice — every call site passes n=1, SURVEY.md §2.2 M6).
+    practice — every call site passes n=1, SURVEY.md §2.2 M6).  Tokens are
+    verbatim substrings with no surrounding whitespace, so
+    ``text[s:e].lower().strip()`` ≡ ``token.lower()`` — the span
+    realignment is skipped on this hot path (``span_tokenize`` remains for
+    callers that need offsets).
     """
-    return [text[s:e].lower().strip() for s, e in span_tokenize(text)]
+    return [t.lower() for t in treebank_tokens(text)]
 
 
 def ngrams(tokens: list[str], n: int) -> list[str]:
