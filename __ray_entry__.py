@@ -349,6 +349,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scored.groupby("qid").map_groups(topk, batch_format="pyarrow")
 
+    def summaries_docs(sf_dir: str):
+        """The summarizer actor-pool stage over the documents table
+        directly (docid = doc_id) — the deterministic input transform
+        (whitespace-collapse → 512-char clip → 60-word cap) is
+        SQL-expressible, so the stage is oracle-checked; the flagship
+        ``summaries`` entry (htmlx-extracted texts) stays rows-only."""
+        import pyarrow as pa
+        import ray.data
+
+        from searchengine_ray.stages.summarize import build_summaries
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(
+            lambda t: pa.table({"docid": t["doc_id"], "text": t["text"]}),
+            batch_format="pyarrow",
+        )
+        return build_summaries(docs)
+
     def summaries(sf_dir: str):
         import ray.data
 
@@ -398,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id_trigram": ops.language_id_trigram,
         "media_features": media_features,
         "media_meta": media_meta,
+        "summaries_docs": summaries_docs,
         "summaries": summaries,
     }
 
@@ -516,6 +536,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sa.m + sb.m - inter AS BIGINT) AS uni "
             "FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE inter * 100 >= 50 * (sa.m + sb.m - inter)"
+        ),
+        "summaries_docs": (
+            "SELECT doc_id AS docid, array_to_string(list_slice(list_filter("
+            "regexp_split_to_array(substr(array_to_string(list_filter("
+            "regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> ''), "
+            "' '), 1, 512), '\\s+'), x -> x <> ''), 1, 60), ' ') AS summary "
+            "FROM documents"
         ),
         "media_meta": (
             "SELECT doc_id AS media_id, CASE doc_id % 3 WHEN 0 THEN 'image' "

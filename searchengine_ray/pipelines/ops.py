@@ -530,16 +530,27 @@ def simhash_dedup(sf_dir: str) -> ray.data.Dataset:
         )
 
     with_sim = _docs_text(sf_dir).map_batches(sims, batch_format="pyarrow")
-    pruned_ids = {
-        r["docid"] for r in dedup_stage.simhash_prune_lsh(with_sim).take_all()
-    }
-    ref = ray.put(frozenset(pruned_ids))
+    # pruned ids as a SORTED numpy broadcast (zero-copy reads per task; a
+    # Python set here would re-unpickle in every task)
+    pt = pa.concat_tables(
+        ray.get(dedup_stage.simhash_prune_lsh(with_sim).materialize().to_arrow_refs())
+    )
+    pruned_arr = np.sort(pt["docid"].to_numpy()) if pt.num_rows else np.empty(
+        0, np.int64
+    )
+    ref = ray.put(pruned_arr)
 
     def mark(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        return batch.append_column(
-            "pruned", pa.array([d in ids for d in batch["docid"].to_pylist()])
-        ).rename_columns(["doc_id", "simhash", "pruned"])
+        arr = ray.get(ref)
+        ids = batch["docid"].to_numpy()
+        if arr.size:
+            pos = np.minimum(np.searchsorted(arr, ids), arr.size - 1)
+            flags = arr[pos] == ids
+        else:
+            flags = np.zeros(ids.size, dtype=bool)
+        return batch.append_column("pruned", pa.array(flags)).rename_columns(
+            ["doc_id", "simhash", "pruned"]
+        )
 
     return with_sim.map_batches(mark, batch_format="pyarrow")
 
@@ -788,7 +799,7 @@ def knn_ivf(
     k: int = 10,
     num_queries: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
     lloyd_iters: int = 3,
 ) -> ray.data.Dataset:
     """IVF-bucketed approximate nearest neighbour — the scale path beside
@@ -812,7 +823,16 @@ def knn_ivf(
     frac = min(1.0, target / max(total, 1))
     sample_ds = ds if frac >= 1.0 else ds.random_sample(frac, seed=11)
     sample_tbl = pa.concat_tables(
-        ray.get(sample_ds.select_columns(["embedding"]).materialize().to_arrow_refs())
+        ray.get(
+            sample_ds.select_columns(["vec_id", "embedding"])
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    # block arrival order is nondeterministic — sort by vec_id so centroid
+    # seeding is reproducible run to run
+    sample_tbl = sample_tbl.take(
+        pc.sort_indices(sample_tbl, sort_keys=[("vec_id", "ascending")])
     )
     sample = np.array(sample_tbl["embedding"].to_pylist(), dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
@@ -1062,22 +1082,35 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
 
 def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     """Join orders ⨝ customer (broadcast small side) → orders per market
-    segment.  The customer table is ``ray.put`` once, looked up per batch —
-    no shuffle join for a small-side lookup."""
+    segment.  The customer side is ``ray.put`` once as SORTED numpy key +
+    dictionary-coded segment arrays (zero-copy per-task reads — a Python
+    dict broadcast re-unpickles in every task) — no shuffle join for a
+    small-side lookup."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    lookup = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
-    ref = ray.put(lookup)
+    keys = cust["c_custkey"].to_numpy()
+    segs_dict = pc.dictionary_encode(cust["c_mktsegment"].combine_chunks())
+    seg_names = np.asarray(segs_dict.dictionary.to_pylist(), dtype=object)
+    codes = segs_dict.indices.to_numpy().astype(np.int32)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], codes[order], seg_names))
 
     def seg(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        segs = [lk.get(k) for k in batch["o_custkey"].to_pylist()]
-        return pa.table({"c_mktsegment": pa.array(segs, pa.string())})
+        ks, cs, names = ray.get(ref)
+        ok = batch["o_custkey"].to_numpy()
+        pos = np.minimum(np.searchsorted(ks, ok), ks.size - 1)
+        hit = ks[pos] == ok
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(
+                    [names[c] if h else None for c, h in zip(cs[pos], hit)],
+                    pa.string(),
+                )
+            }
+        )
 
     ds = (
         ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
