@@ -49,6 +49,31 @@ def test_pagerank_join_full_convergence(built):
         assert v == pytest.approx(want[d], rel=1e-12), d
 
 
+def test_compute_quality_join_mode_matches_local(built):
+    """End-to-end wiring parity: compute_quality(method='join') — the path
+    auto selects above AUTO_JOIN_EDGE_THRESHOLD — writes the same f32
+    pr/hub/auth columns onto docs as the local mode (tol=0 pins both to
+    fixed 25 rounds so convergence-order noise can't differ)."""
+    edges = ray.data.read_parquet(built.edges_dir)
+    docs = ray.data.read_parquet(built.docs_dir)
+
+    def scores(method):
+        out = linkgraph.compute_quality(
+            edges, docs, built.last_docid, method=method, pr_tol=0.0, hits_tol=0.0
+        )
+        return {
+            r["docid"]: (r["pr_quality"], r["hub_quality"], r["auth_quality"])
+            for r in out.take_all()
+        }
+
+    local = scores("local")
+    join = scores("join")
+    assert set(local) == set(join)
+    for d in local:
+        for a, b in zip(local[d], join[d]):
+            assert a == pytest.approx(b, rel=1e-6), d
+
+
 def test_hits_join_matches_local(built):
     edges = ray.data.read_parquet(built.edges_dir)
     docs = ray.data.read_parquet(built.docs_dir).select_columns(["docid"])
