@@ -377,17 +377,19 @@ def _minhash_sig(sh: set[str]) -> np.ndarray:
 
 
 def _emit_pairs_group(group: pa.Table, id_col: str) -> pa.Table:
-    """All a<b candidate pairs within one LSH bucket (bucket sizes are
-    small by construction; dup-heavy buckets are the pathological case and
-    still only pay pairs, never payload replication)."""
-    a_, b_ = [], []
-    if group.num_rows >= 2:
-        ids = np.sort(group[id_col].to_numpy())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_.append(ids[i])
-                b_.append(ids[j])
-    return pa.table({"a": pa.array(a_, pa.int64()), "b": pa.array(b_, pa.int64())})
+    """All a<b candidate pairs within one LSH bucket, vectorized
+    (np.triu_indices — no Python pair loop).  Bucket sizes are small by
+    construction; dup-heavy buckets are the pathological case and still
+    only pay id pairs, never payload replication."""
+    if group.num_rows < 2:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    ids = np.sort(group[id_col].to_numpy())
+    i, j = np.triu_indices(ids.size, k=1)
+    return pa.table(
+        {"a": pa.array(ids[i], pa.int64()), "b": pa.array(ids[j], pa.int64())}
+    )
 
 
 def _verified_prune(
@@ -662,20 +664,23 @@ def ngram_jaccard_pairs(
         )
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        a_, b_ = [], []
-        if group.num_rows >= 2:
-            idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-            g = group.take(idx)
-            ids = g["doc_id"].to_numpy()
-            ms = g["m"].to_numpy()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    lo, hi = sorted((ms[i], ms[j]))
-                    if lo * 100 >= pct * hi:  # size filter (jac ≤ min/max)
-                        a_.append(ids[i])
-                        b_.append(ids[j])
+        if group.num_rows < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(idx)
+        ids = g["doc_id"].to_numpy()
+        ms = g["m"].to_numpy()
+        i, j = np.triu_indices(ids.size, k=1)  # vectorized a<b pairs
+        lo = np.minimum(ms[i], ms[j])
+        hi = np.maximum(ms[i], ms[j])
+        keep = lo * 100 >= pct * hi  # size filter (jac ≤ min/max)
         return pa.table(
-            {"a": pa.array(a_, pa.int64()), "b": pa.array(b_, pa.int64())}
+            {
+                "a": pa.array(ids[i][keep], pa.int64()),
+                "b": pa.array(ids[j][keep], pa.int64()),
+            }
         )
 
     cand = (
