@@ -74,6 +74,11 @@ def hash64_arr(strs) -> np.ndarray:
     )
 
 
+def hash64_bytes(b: bytes) -> int:
+    """``hash64_str`` for a bytes payload (two C-speed CRC32s packed)."""
+    return (zlib.crc32(b) << 32) | zlib.crc32(b"\x9e" + b)
+
+
 class WordHashCache:
     """Memoized ``crc64(word) % 2^32`` (vocab is Zipfian; one per actor)."""
 

@@ -368,9 +368,9 @@ _MH_B = np.array(
 
 
 def _minhash_sig(sh: set[str]) -> np.ndarray:
-    base = np.array(
-        [hashing.crc64(s.encode()) for s in sh], dtype=np.uint64
-    )
+    # C-speed shingle hashing (hash64_arr = packed zlib CRC32s); the
+    # per-byte Python CRC64 loop here was the minhash hot spot
+    base = hashing.hash64_arr(list(sh))
     with np.errstate(over="ignore"):
         m = (base[:, None] * _MH_A[None, :] + _MH_B[None, :])
     return m.min(axis=0)
@@ -486,7 +486,7 @@ def minhash_dedup(
                 out["doc_id"].append(doc_id)
                 out["band"].append(b)
                 out["band_hash"].append(
-                    hashing.crc64(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF
+                    hashing.hash64_bytes(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF
                 )
         return pa.table(
             {
