@@ -16,6 +16,7 @@ uint32 (bit 31 == the reference's ``v[0]``).
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -77,6 +78,31 @@ def hash64_arr(strs) -> np.ndarray:
 def hash64_bytes(b: bytes) -> int:
     """``hash64_str`` for a bytes payload (two C-speed CRC32s packed)."""
     return (zlib.crc32(b) << 32) | zlib.crc32(b"\x9e" + b)
+
+
+def hash64_str_b2(s: str) -> int:
+    """Structurally independent 64-bit key family: blake2b-8 of the utf-8
+    bytes.  CRC is GF(2)-affine, so BOTH packed halves of ``hash64_str``
+    collide whenever ``crc32`` collides between equal-length strings, and
+    any CRC-of-the-same-bytes "salted" variant collides with them — the
+    secondary family of the 128-bit collision guard must therefore be a
+    non-linear hash (ADVICE r2, high).  blake2b is C-speed via hashlib."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def hash64_arr_b2(strs) -> np.ndarray:
+    """hash64_str_b2 over a sequence → uint64 array."""
+    b2 = hashlib.blake2b
+    return np.fromiter(
+        (
+            int.from_bytes(b2(s.encode("utf-8"), digest_size=8).digest(), "little")
+            for s in strs
+        ),
+        dtype=np.uint64,
+        count=len(strs),
+    )
 
 
 class WordHashCache:

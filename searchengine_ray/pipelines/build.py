@@ -54,16 +54,21 @@ from searchengine_ray.functions import hashing as _hashing
 
 
 def _url_ts_keys(
-    urls: list[str], ts_us: np.ndarray, salt: str = ""
+    urls: list[str], ts_us: np.ndarray, family: int = 1
 ) -> np.ndarray:
-    """64-bit (url, warc_ts) join keys (see hashing.hash64_str).  ``salt``
-    derives an INDEPENDENT second key family for 128-bit verification."""
-    crc = _hashing.hash64_arr(
-        [u + salt for u in urls] if salt else urls
-    )
-    mult = np.uint64(0x9E3779B97F4A7C15 if not salt else 0xC2B2AE3D27D4EB4F)
+    """64-bit (url, warc_ts) join keys.  ``family=1`` is the fast CRC32-pair
+    probe key (hashing.hash64_str); ``family=2`` is the STRUCTURALLY
+    independent verification key (hashing.hash64_str_b2, blake2b) — CRC is
+    affine, so a salted CRC of the same bytes collides together with the
+    primary and cannot serve as a collision guard (ADVICE r2, high)."""
+    if family == 1:
+        h = _hashing.hash64_arr(urls)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+    else:
+        h = _hashing.hash64_arr_b2(urls)
+        mult = np.uint64(0xC2B2AE3D27D4EB4F)
     with np.errstate(over="ignore"):
-        return crc ^ (ts_us.astype(np.uint64) * mult)
+        return h ^ (ts_us.astype(np.uint64) * mult)
 
 
 def _lookup_verified(
@@ -232,7 +237,7 @@ def build_index(
             sv_urls = sv["url"].to_pylist()
             sv_ts = sv["warc_ts"].combine_chunks().cast(pa.int64()).to_numpy()
             sv_keys = _url_ts_keys(sv_urls, sv_ts)
-            sv_keys2 = _url_ts_keys(sv_urls, sv_ts, salt="#k2")
+            sv_keys2 = _url_ts_keys(sv_urls, sv_ts, family=2)
             order2 = np.argsort(sv_keys)
             lut_ref = ray.put(
                 (
@@ -281,7 +286,7 @@ def build_index(
                         ),
                     )
                 bkeys = _url_ts_keys(urls, ts)
-                bkeys2 = _url_ts_keys(urls, ts, salt="#k2")
+                bkeys2 = _url_ts_keys(urls, ts, family=2)
                 keep, pos_c = _lookup_verified(
                     keys_sorted, keys2_sorted, bkeys, bkeys2
                 )
@@ -430,7 +435,7 @@ def build_index(
             )
             u_urls = url_tbl["url"].to_pylist()
             ukeys = _hashing.hash64_arr(u_urls)
-            ukeys2 = _hashing.hash64_arr([u + "#k2" for u in u_urls])
+            ukeys2 = _hashing.hash64_arr_b2(u_urls)
             uorder = np.argsort(ukeys)
             url_ref = ray.put(
                 (
@@ -451,7 +456,7 @@ def build_index(
                     )
                 durls = batch["dst_url"].to_pylist()
                 bkeys = _hashing.hash64_arr(durls)
-                bkeys2 = _hashing.hash64_arr([u + "#k2" for u in durls])
+                bkeys2 = _hashing.hash64_arr_b2(durls)
                 keep, pos_c = _lookup_verified(
                     keys_sorted, keys2_sorted, bkeys, bkeys2
                 )

@@ -62,13 +62,17 @@ TEMPLATE = """<!DOCTYPE html>
 
 def format_results_web(ranked, k: int, summary_store) -> list[str]:
     """``lib/queryproc.py:287-301`` formatting: rank, linked url, 2-decimal
-    score, per-doc summary (fallback included)."""
+    score, per-doc summary (fallback included).  url and summary derive
+    from crawled content, so they are escaped before interpolation into
+    the self-built markup (the template renders these strings |safe)."""
+    from markupsafe import escape
+
     from searchengine_ray.stages.summarize import SummaryStore
 
     out = []
     for rank, (docid, score, url) in enumerate(ranked[:k], 1):
-        url = url or "URL not found"
-        summary = (
+        url = escape(url or "URL not found")
+        summary = escape(
             summary_store.get(docid) if summary_store else SummaryStore.FALLBACK
         )
         out.append(

@@ -49,5 +49,46 @@ def test_key_families_are_independent():
     urls = [f"https://x/{i}" for i in range(1000)]
     ts = np.arange(1000, dtype=np.int64)
     a = _url_ts_keys(urls, ts)
-    b = _url_ts_keys(urls, ts, salt="#k2")
+    b = _url_ts_keys(urls, ts, family=2)
     assert not np.any(a == b)  # different families for the same inputs
+
+
+# Equal-length strings with equal crc32 (birthday-searched, seed 12345).
+# CRC is GF(2)-affine, so this single collision propagates to BOTH packed
+# halves of hash64_str AND to any salted-CRC-of-the-same-bytes variant —
+# the exact failure mode the secondary family must break (ADVICE r2).
+_CRC_PAIR = ("8r7val5qgvx7", "j01vp43zm44n")
+
+
+def test_crc_collision_does_not_propagate_to_secondary_family():
+    import zlib
+
+    from searchengine_ray.functions.hashing import hash64_str, hash64_str_b2
+
+    a, b = _CRC_PAIR
+    assert len(a) == len(b)
+    assert zlib.crc32(a.encode()) == zlib.crc32(b.encode())  # pair is live
+    # the affine flaw: the full 64-bit primary collides too
+    assert hash64_str(a) == hash64_str(b)
+    # the guard: the blake2 secondary family MUST differ (fails for any
+    # CRC-of-the-same-bytes construction, salted or not)
+    assert hash64_str_b2(a) != hash64_str_b2(b)
+    ts = np.zeros(2, dtype=np.int64)  # equal warc_ts cancels the ts mixing
+    k2 = _url_ts_keys([a, b], ts, family=2)
+    assert k2[0] != k2[1]
+
+
+def test_lookup_with_crc_colliding_urls_assigns_correct_docids():
+    a, b = _CRC_PAIR
+    ts = np.zeros(2, dtype=np.int64)
+    k1 = _url_ts_keys([a, b], ts)
+    k2 = _url_ts_keys([a, b], ts, family=2)
+    assert k1[0] == k1[1]  # genuine 64-bit primary collision
+    order = np.argsort(k1, kind="stable")
+    keys_sorted = k1[order]
+    keys2_sorted = k2[order]
+    docids = np.array([10, 20], dtype=np.int64)[order]
+    # probe in the opposite order: each url must resolve to ITS docid
+    keep, pos = _lookup_verified(keys_sorted, keys2_sorted, k1[::-1].copy(), k2[::-1].copy())
+    assert keep.tolist() == [0, 1]
+    assert docids[pos[keep]].tolist() == [20, 10]

@@ -77,3 +77,20 @@ def test_summary_fallback_used_without_store(ray_session, tmp_path):
         "/", data={"query": "search engine index", "num_results": "5"}
     )
     assert SummaryStore.FALLBACK in r.get_data(as_text=True)
+
+
+def test_format_results_escapes_crawled_content():
+    """url and summary come from crawled documents — format_results_web must
+    escape them before they hit the |safe template slot (stored XSS)."""
+    from searchengine_ray.web import format_results_web
+
+    class EvilStore:
+        def get(self, docid):
+            return '<script>alert(1)</script>'
+
+    rows = [(1, 0.5, 'https://x/"><script>alert(2)</script>')]
+    out = format_results_web(rows, 5, EvilStore())
+    assert len(out) == 1
+    assert "<script>" not in out[0]
+    assert "&lt;script&gt;" in out[0]
+    assert "&#34;&gt;" in out[0] or "&quot;&gt;" in out[0]
