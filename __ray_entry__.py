@@ -537,6 +537,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE inter * 100 >= 50 * (sa.m + sb.m - inter)"
         ),
+        "embedding_neardup": (
+            # exact all-pairs oracle over the SAME planted input the Ray
+            # pipeline builds (ops.embedding_neardup plant_mod=5): every
+            # vec_id % 5 == 0 gains a colinear copy at vec_id + 1e6 scaled
+            # by 1 + (vec_id % 7 + 1)/4; cosine is scale-invariant so the
+            # planted pairs sit at ~1.0 vs the 0.98 threshold while the max
+            # natural pair is ~0.6 — no boundary sensitivity either side
+            "WITH aug AS ("
+            "SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL "
+            "SELECT vec_id + 1000000 AS vec_id, "
+            "list_transform(embedding, x -> x * s) AS embedding FROM ("
+            "SELECT vec_id, embedding, 1.0 + (vec_id % 7 + 1) * 0.25 AS s "
+            "FROM embeddings WHERE vec_id % 5 = 0)) "
+            "SELECT p.b AS vec_id, CAST(min(p.a) AS BIGINT) AS kept_by FROM ("
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "list_cosine_similarity(a.embedding, b.embedding) AS sim "
+            "FROM aug a JOIN aug b ON a.vec_id < b.vec_id) p "
+            "WHERE p.sim >= 0.98 GROUP BY p.b"
+        ),
         "summaries_docs": (
             "SELECT doc_id AS docid, array_to_string(list_slice(list_filter("
             "regexp_split_to_array(substr(array_to_string(list_filter("
