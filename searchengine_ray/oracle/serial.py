@@ -100,7 +100,8 @@ def build(table: pa.Table, cfg: params.BuildConfig | None = None) -> OracleIndex
             for tag, _ in params.IMPORTANT_TAGS
         }
 
-        if cfg.near_dup_mode == "window":
+        # "auto" resolves to window at any scale this serial oracle can run
+        if cfg.near_dup_mode in ("window", "auto"):
             sim = hashing.simhash(tokenizer.word_count(tokens))
             if any(
                 hashing.hamming32(sim, other) <= params.SIMHASH_HAMMING_MAX

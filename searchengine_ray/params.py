@@ -78,8 +78,12 @@ class BuildConfig:
     tokenizer: str = "reference"
     # near-dup mode: "window" replicates the reference's sequential
     # 200-window semantics (parity w/ oracle); "lsh" is the scale path
-    # (simhash band LSH, global not windowed); "off" disables D3.
-    near_dup_mode: str = "window"
+    # (simhash Hamming-ball, global not windowed); "off" disables D3;
+    # "auto" (default) picks window below stages.dedup.AUTO_WINDOW_THRESHOLD
+    # survivors and lsh above it, mirroring linkgraph's
+    # AUTO_JOIN_EDGE_THRESHOLD — the flagship default stays parity-correct
+    # at fixture scale without becoming a driver-serial scan at 100x.
+    near_dup_mode: str = "auto"
     # replicate the reference's importance bug (makeindex.py:231-234:
     # the loop assigns `importance` but the posting reads `important`,
     # so emitted importance is always 0). False = intended semantics.

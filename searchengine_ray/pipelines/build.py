@@ -351,11 +351,18 @@ def build_index(
 
     # ---- 6: near-dup (D3) ----------------------------------------------
     t0 = time.perf_counter()
-    if cfg.near_dup_mode == "window":
+    near_dup_mode = cfg.near_dup_mode
+    if near_dup_mode == "auto":
+        # parity window below the threshold, distributed Hamming-ball above
+        # (documented semantic divergence: global vs 200-window; SURVEY D3)
+        near_dup_mode = (
+            "window" if num_surv <= dedup.AUTO_WINDOW_THRESHOLD else "lsh"
+        )
+    if near_dup_mode == "window":
         pruned_arr = np.sort(
             np.fromiter(dedup.simhash_prune_window(extracted), dtype=np.int64)
         )
-    elif cfg.near_dup_mode == "lsh":
+    elif near_dup_mode == "lsh":
         pt = pa.concat_tables(
             ray.get(dedup.simhash_prune_lsh(extracted).materialize().to_arrow_refs())
         )

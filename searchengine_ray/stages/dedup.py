@@ -91,6 +91,13 @@ def window_prune(
     return pruned
 
 
+# near_dup_mode="auto" switches window→lsh above this survivor count
+# (mirrors linkgraph.AUTO_JOIN_EDGE_THRESHOLD): below it the driver-serial
+# parity scan is a few seconds; above it the serial window would dominate
+# the build wall while the global Hamming-ball path stays distributed.
+AUTO_WINDOW_THRESHOLD = 2_000_000
+
+
 def simhash_prune_window(extracted: ray.data.Dataset) -> set[int]:
     """Parity-mode D3 over the extracted survivors: pull (docid, simhash)
     via zero-copy Arrow refs, scan serially in docid order, return pruned

@@ -150,3 +150,36 @@ def test_lsh_prune_matches_bruteforce(ray_session):
         if hashing.hamming32_vec(s32[:i], int(s32[i])).min() <= 3:
             want.add(int(docids[i]))
     assert got == want
+
+
+def test_auto_neardup_picks_window_below_threshold(ray_session, tmp_path):
+    """Default (auto) equals an explicit window build at fixture scale."""
+    table = synthesize_pages(160)
+    r_auto = build_index(
+        ray.data.from_arrow(table).repartition(4), str(tmp_path / "auto"),
+        params.BuildConfig(near_dup_mode="auto"),
+    )
+    r_win = build_index(
+        ray.data.from_arrow(table).repartition(4), str(tmp_path / "win"),
+        params.BuildConfig(near_dup_mode="window"),
+    )
+    assert r_auto.pruned_neardup == r_win.pruned_neardup
+    assert pq.read_table(r_auto.docs_dir)["docid"].to_pylist() == \
+        pq.read_table(r_win.docs_dir)["docid"].to_pylist()
+
+
+def test_auto_neardup_picks_lsh_above_threshold(ray_session, tmp_path, monkeypatch):
+    """Above AUTO_WINDOW_THRESHOLD survivors, auto must take the LSH path."""
+    monkeypatch.setattr(dedup, "AUTO_WINDOW_THRESHOLD", 10)
+    table = synthesize_pages(160)
+    r_auto = build_index(
+        ray.data.from_arrow(table).repartition(4), str(tmp_path / "auto"),
+        params.BuildConfig(near_dup_mode="auto"),
+    )
+    r_lsh = build_index(
+        ray.data.from_arrow(table).repartition(4), str(tmp_path / "lsh"),
+        params.BuildConfig(near_dup_mode="lsh"),
+    )
+    assert r_auto.pruned_neardup == r_lsh.pruned_neardup
+    assert pq.read_table(r_auto.docs_dir)["docid"].to_pylist() == \
+        pq.read_table(r_lsh.docs_dir)["docid"].to_pylist()
