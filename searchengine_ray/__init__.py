@@ -11,4 +11,4 @@ Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — the session
 is owned by the caller (driver, bench.py, or the pytest fixture).
 """
 
-__version__ = "0.3.2"
+__version__ = "0.4.0"

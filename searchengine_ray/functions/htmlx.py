@@ -23,6 +23,8 @@ by this same extractor, making "byte-identical extracted text per url"
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 from urllib.parse import urldefrag, urljoin
 
@@ -79,6 +81,91 @@ class _Extractor(HTMLParser):
             self.tag_texts[top].append(data)
 
 
+# ---- fast path: regex tag scanner driving the SAME _Extractor handlers.
+# Falls back to the full HTMLParser whenever the document contains anything
+# the scanner cannot prove safe: comments/doctype/PIs (`<!`, `<?`),
+# rawtext elements (script/style switch HTMLParser into CDATA mode), a `<`
+# not opening a tag, or a tag body whose quoting could hide a `>`.
+_FALLBACK_RE = re.compile(r"(?i:<script|<style)|<(?![a-zA-Z]|/[a-zA-Z])")
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:_.-]*)([^>]*)>")
+# one attribute, HTMLParser-tolerant shape: name, optional =value
+_ATTR_RE = re.compile(
+    r"""\s*([^\s/=>]+)(?:\s*=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+
+
+class _NeedsFullParser(Exception):
+    pass
+
+
+def _attrs_href(body: str) -> list[tuple[str, str]]:
+    """Sequential attr scan of a start-tag body, returning the first href
+    (mirrors HTMLParser's attrfind loop — a 'href=' inside another attr's
+    quoted VALUE is not an attribute)."""
+    pos = 0
+    n = len(body)
+    while pos < n:
+        m = _ATTR_RE.match(body, pos)
+        if m is None or m.end() == pos:
+            rest = body[pos:].strip()
+            if rest in ("", "/"):
+                break
+            raise _NeedsFullParser
+        k, v = m.groups()
+        if k.lower() == "href" and v is not None:
+            if v[:1] in "\"'" and v[:1] == v[-1:] and len(v) >= 2:
+                v = v[1:-1]
+            return [("href", unescape(v) if "&" in v else v)]
+        pos = m.end()
+    return []
+
+
+def _fast_feed(p: _Extractor, html: str) -> None:
+    """Drive ``p``'s handlers via a single finditer scan.  Raises
+    ``_NeedsFullParser`` when a construct appears mid-scan that only the
+    full parser resolves exactly (odd quoting in a tag body, a tag-like
+    ``<`` that never closes, junk after a tag name)."""
+    pos = 0
+    for m in _TAG_RE.finditer(html):
+        if m.start() > pos:
+            data = html[pos : m.start()]
+            if "<" in data:
+                raise _NeedsFullParser  # an unterminated tag-like '<'
+            p.handle_data(unescape(data) if "&" in data else data)
+        closing, name, body = m.groups()
+        if body:
+            if body.count('"') % 2 or body.count("'") % 2:
+                raise _NeedsFullParser  # a quoted '>' may have split this tag
+            if closing:
+                if body.strip():
+                    raise _NeedsFullParser  # attrs on an end tag
+            elif body[0] not in " \t\n\r\f/":
+                raise _NeedsFullParser  # tag-name chars beyond our pattern
+        name = name.lower()
+        if closing:
+            p.handle_endtag(name)
+        else:
+            # self-closing iff the '/' is NOT swallowed by an unquoted attr
+            # value (HTMLParser: <a href=x/> parses value "x/", no endtag)
+            startend = body == "/" or (
+                body.endswith("/") and body[-2] in " \t\n\r\f\"'"
+            )
+            attrs = (
+                _attrs_href(body)
+                if name == "a" and body and not p._open
+                else []
+            )
+            p.handle_starttag(name, attrs)
+            if startend:
+                p.handle_endtag(name)
+        pos = m.end()
+    if pos < len(html):
+        tail = html[pos:]
+        if "<" in tail:
+            raise _NeedsFullParser
+        p.handle_data(unescape(tail) if "&" in tail else tail)
+
+
 def extract(html: str, base_url: str) -> tuple[str, dict[str, str], list[str]]:
     """Extract (text, {tag: tag_text}, out_links) from one page.
 
@@ -87,10 +174,22 @@ def extract(html: str, base_url: str) -> tuple[str, dict[str, str], list[str]]:
       (caller tokenizes into the per-tag token *set*, makeindex.py:172).
     - ``out_links``: defragged absolute URLs in first-seen order, deduped
       (reference keeps a ``set``; order is normalized downstream).
+
+    Dispatches to the fast scanner unless the document contains constructs
+    only the full parser handles; both paths drive the same ``_Extractor``
+    handlers (equivalence pinned by ``test_fast_path_matches_htmlparser``).
     """
     p = _Extractor()
-    p.feed(html)
-    p.close()
+    if _FALLBACK_RE.search(html) is None:
+        try:
+            _fast_feed(p, html)
+        except _NeedsFullParser:
+            p = _Extractor()
+            p.feed(html)
+            p.close()
+    else:
+        p.feed(html)
+        p.close()
     text = "".join(p.text_parts)
     tag_text = {t: "".join(parts) for t, parts in p.tag_texts.items() if parts}
     links: list[str] = []

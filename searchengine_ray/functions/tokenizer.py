@@ -45,10 +45,8 @@ _SIMPLE_RE = re.compile(r"[^a-z0-9]+")
 # and the final-period rule — only the LAST period of the text is split
 # off, so mid-document sentence-enders stay attached (``York.``), exactly
 # what indexing whole documents through Treebank produces.
-_TB_STARTING = [
-    (re.compile(r"([«“‘„]|[`]+)"), r" \1 "),
-    (re.compile(r"(?i)(')(?!re|ve|ll|m|t|s|d|n)(\w)\b"), r"\1 \2"),
-]
+_TB_OPEN_QUOTES = re.compile(r"([«“‘„]|[`]+)")
+_TB_APOS_WORD = re.compile(r"(?i)(')(?!re|ve|ll|m|t|s|d|n)(\w)\b")
 _TB_PUNCT = [
     (re.compile(r"([^\.])(\.)([\]\)}>\"\'»”’]*)\s*$"), r"\1 \2\3 "),
     (re.compile(r"([:,])([^\d])"), r" \1 \2"),
@@ -57,19 +55,24 @@ _TB_PUNCT = [
     # they are mutually disjoint and only insert spaces, so order-safe):
     # ellipses, sentence/symbol punctuation, parens/brackets, dashes, quotes
     (re.compile(r"\.{2,}|--|[;@#$%&?!*\]\[\(\)\{\}<>\"»”’]"), r" \g<0> "),
-    (re.compile(r"([^'])' "), r"\1 ' "),
 ]
-_TB_ENDING = [
-    (re.compile(r"(\S)('')"), r"\1 \2 "),
-    (re.compile(r"([^' ])('[sS]|'[mM]|'[dD]|') "), r"\1 \2 "),
-    (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) "), r"\1 \2 "),
-]
-# the contraction table as ONE alternation (was 10 case-insensitive passes;
-# a sub with callback splits at the branch that matched)
-_TB_CONTR = re.compile(
-    r"\b(?:(can)(not)|(d)('ye)|(gim)(me)|(gon)(na)|(got)(ta)|(lem)(me)"
-    r"|(mor)('n))\b|\b(wan)(na)(?=\s)| ('t)(is)\b| ('t)(was)\b",
+_TB_CLOSE_QUOTE = re.compile(r"([^'])' ")
+_TB_DOUBLE_QUOTE = re.compile(r"(\S)('')")
+# clitics: the two sequential passes fused into one ordered alternation
+# (bare ' last, mirroring the original pass-1-then-pass-2 priority)
+_TB_CLITICS = re.compile(
+    r"([^' ])('[sS]|'[mM]|'[dD]|'ll|'LL|'re|'RE|'ve|'VE|n't|N'T|') "
+)
+# contraction table split by whether the branch needs an apostrophe, so the
+# common no-' text skips the second pass entirely (NLTK itself runs each
+# CONTRACTIONS pattern as its own sequential sub)
+_TB_CONTR_PLAIN = re.compile(
+    r"\b(?:(can)(not)|(gim)(me)|(gon)(na)|(got)(ta)|(lem)(me))\b"
+    r"|\b(wan)(na)(?=\s)",
     re.IGNORECASE,
+)
+_TB_CONTR_APOS = re.compile(
+    r"\b(?:(d)('ye)|(mor)('n))\b| ('t)(is)\b| ('t)(was)\b", re.IGNORECASE
 )
 
 
@@ -79,13 +82,29 @@ def _contr_sub(m: "re.Match") -> str:
 
 
 def treebank_tokens(text: str) -> list[str]:
-    """Penn-Treebank tokens of ``text`` (verbatim substrings, in order)."""
-    for pat, rep in _TB_STARTING + _TB_PUNCT:
+    """Penn-Treebank tokens of ``text`` (verbatim substrings, in order).
+
+    Apostrophe/quote-dependent passes are gated on C-speed ``in`` checks —
+    a skipped pass can never match (the whole pattern requires the probed
+    character), so gating is behavior-neutral and saves ~half the regex
+    scans on typical web text."""
+    has_apos = "'" in text
+    if "«" in text or "“" in text or "‘" in text or "„" in text or "`" in text:
+        text = _TB_OPEN_QUOTES.sub(r" \1 ", text)
+    if has_apos:
+        text = _TB_APOS_WORD.sub(r"\1 \2", text)
+    for pat, rep in _TB_PUNCT:
         text = pat.sub(rep, text)
+    if has_apos:
+        text = _TB_CLOSE_QUOTE.sub(r"\1 ' ", text)
     text = " " + text + " "
-    for pat, rep in _TB_ENDING:
-        text = pat.sub(rep, text)
-    text = _TB_CONTR.sub(_contr_sub, text)
+    if has_apos:
+        if "''" in text:
+            text = _TB_DOUBLE_QUOTE.sub(r"\1 \2 ", text)
+        text = _TB_CLITICS.sub(r"\1 \2 ", text)
+    text = _TB_CONTR_PLAIN.sub(_contr_sub, text)
+    if has_apos:
+        text = _TB_CONTR_APOS.sub(_contr_sub, text)
     return text.split()
 
 

@@ -125,19 +125,39 @@ class ExtractBatch:
         simple = self._mode == "simple"
 
         out = {name: [] for name in EXTRACTED_SCHEMA.names}
+        # phase 1: parse + tokenize; collect per-doc raw word counts so the
+        # simhash runs batch-vectorized (hashing.simhash_batch) instead of
+        # paying per-doc numpy-call overhead
+        raw_counts: list[dict[str, int]] = []
+        per_doc = []
         for docid, url, html in zip(docids, urls, htmls):
             content = decode_content(html)
             if simple:
                 text, links = self._extract_simple(content)
                 tag_text = {}
                 tokens = tokenizer.simple_tokens(text)
-                stemmed = tokens
             else:
                 text, tag_text, links = htmlx.extract(content, url)
                 tokens = tokenizer.tokenize(text)
-                stemmed = tokenizer.stem_tokens(tokens, self._stemmer)
-            sim = hashing.simhash(tokenizer.word_count(tokens), self._word_hashes)
-            token_counts = tokenizer.word_count(stemmed)
+            wc = tokenizer.word_count(tokens)
+            raw_counts.append(wc)
+            per_doc.append((docid, url, text, tag_text, links, len(tokens), wc))
+        sims = hashing.simhash_batch(raw_counts, self._word_hashes)
+
+        # phase 2: stem each UNIQUE token once and merge counts (identical
+        # dict insertion order to stemming the full sequence: the first
+        # occurrence of a stem is the first token mapping to it)
+        stem = self._stemmer.stem
+        for i, (docid, url, text, tag_text, links, n_tokens, wc) in enumerate(
+            per_doc
+        ):
+            if simple:
+                token_counts = wc
+            else:
+                token_counts = {}
+                for t, c in wc.items():
+                    s = stem(t)
+                    token_counts[s] = token_counts.get(s, 0) + c
 
             if self._importance_bug:
                 importants = [0] * len(token_counts)
@@ -158,9 +178,9 @@ class ExtractBatch:
             out["docid"].append(docid)
             out["url"].append(url)
             out["text"].append(text if self._emit_text else "")
-            out["simhash"].append(sim)
+            out["simhash"].append(int(sims[i]))
             out["total_tokens"].append(len(token_counts))
-            out["doc_len"].append(len(stemmed))
+            out["doc_len"].append(n_tokens)
             out["terms"].append(list(token_counts.keys()))
             out["tfs"].append(list(token_counts.values()))
             out["importants"].append(importants)

@@ -304,3 +304,114 @@ def test_extract_includes_script_text():
 def test_defrag():
     assert htmlx.defrag("http://x.com/a#b") == "http://x.com/a"
     assert htmlx.defrag("http://x.com/a") == "http://x.com/a"
+
+
+def test_simhash_batch_matches_scalar():
+    from searchengine_ray.functions import hashing
+
+    docs = [
+        {},
+        {"the": 3, "quick": 1, "fox": 2},
+        {"lorem": 1},
+        {},
+        {"the": 1, "fox": 1, "zebra": 5, "qq": 1},
+        {},
+    ]
+    batch = hashing.simhash_batch(docs)
+    for wc, got in zip(docs, batch):
+        assert int(got) == hashing.simhash(wc)
+
+
+# ---- htmlx fast-path equivalence -------------------------------------
+
+def _full_parse(html):
+    from searchengine_ray.functions.htmlx import _Extractor
+
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    return (
+        "".join(p.text_parts),
+        {t: "".join(v) for t, v in p.tag_texts.items() if v},
+        p.hrefs,
+    )
+
+
+def _dispatch_parse(html):
+    """What extract() computes before link resolution (fast or fallback)."""
+    from searchengine_ray.functions.htmlx import (
+        _Extractor,
+        _FALLBACK_RE,
+        _NeedsFullParser,
+        _fast_feed,
+    )
+
+    p = _Extractor()
+    if _FALLBACK_RE.search(html) is None:
+        try:
+            _fast_feed(p, html)
+        except _NeedsFullParser:
+            p = _Extractor()
+            p.feed(html)
+            p.close()
+    else:
+        p.feed(html)
+        p.close()
+    return (
+        "".join(p.text_parts),
+        {t: "".join(v) for t, v in p.tag_texts.items() if v},
+        p.hrefs,
+    )
+
+
+TRICKY_HTML = [
+    "<html><title>T</title><body><h1>H</h1><p>hello &amp; bye</p></body></html>",
+    "<B>Upper</B> plain <I>x</I>",
+    '<a href="x">l</a><a href=\'y\'>m</a><a href=z>n</a>',
+    "<a href>n</a><a>m</a>",
+    '<a id="1" href="first" href="second">t</a>',
+    '<a title="href=evil" href="real">t</a>',
+    '<a title="x href=evil2 y" href="real2">t</a>',
+    '<a href="a&amp;b">e</a> &lt;tag&gt; &#65;',
+    "<b/>selfclose<a href=x/>v</a>",
+    '<a href="x"/>q',
+    "a < b and c > d",
+    '<a href="unterminated',
+    '<a href="x>y">trap</a>',
+    "<b@x>weird</b@x>",
+    "<h1><b>nested</b> important <a href='inlink'>L</a></h1><a href='out'>O</a>",
+    "<script>var x = '<b>not text</b>';</script>after",
+    "<style>p { color: red }</style>s",
+    "<!-- <b>comment</b> --><p>real</p>",
+    "<!DOCTYPE html><p>x</p>",
+    "<?php echo 1 ?><p>y</p>",
+    "<p>multi\nline\ttext</p>",
+    "<A HREF='CAPS'>c</A>",
+    "<b><b>double</b>once</b>",
+    "</b>stray close<b>open only",
+    "<mark>m1</mark><strong>s</strong><h4>h</h4>",
+    "<p attr=''>empty quotes</p>",
+    "<a href=''>empty href</a>",
+    "text &notanentity; more",
+    "<a href=\"x\" >spaced</a >",
+]
+
+
+def test_fast_path_matches_htmlparser():
+    for h in TRICKY_HTML:
+        assert _dispatch_parse(h) == _full_parse(h), h
+
+
+def test_fast_path_matches_htmlparser_fuzz():
+    import random
+
+    rng = random.Random(99)
+    pieces = [
+        "<b>", "</b>", "<h1>", "</h1>", "<a href='u'>", "<a href=v>",
+        "</a>", "text ", "&amp;", "&#65;", "'", '"', "<", ">", "/", "=",
+        " ", "x", "<p>", "</p>", "<title>", "</title>", "<mark>", "&",
+        "<b/>", "<a href=", "'>", "\n",
+    ]
+    for _ in range(400):
+        h = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 30)))
+        assert _dispatch_parse(h) == _full_parse(h), repr(h)
