@@ -175,6 +175,10 @@ def build_index(
         pruned_empty = st["pruned_empty"]
         pruned_url = st["pruned_url"]
         pruned_exact = st["pruned_exact"]
+        # D2-survivor count (drives the near_dup_mode="auto" switch) without
+        # re-executing the checkpointed dataset: survivors = rows in the
+        # extracted checkpoint = input minus the three prune stages
+        num_surv = num_rows - pruned_empty - pruned_url - pruned_exact
     else:
         keys = pages.map_batches(page_keys, batch_format="pyarrow")
         keys = keys.sort(["defrag_url", "url", "warc_ts"])
