@@ -449,8 +449,20 @@ def _trigram_profile_values() -> str:
     return ", ".join(rows)
 
 
+def _minhash_perm_values() -> str:
+    """The 64 MinHash permutation constants as SQL VALUES rows (i, a, b) —
+    shared verbatim with ops._MH_A/_MH_B (63-bit, so HUGEINT h*a+b never
+    overflows) so the DuckDB oracle replays the exact signatures."""
+    from searchengine_ray.pipelines.ops import _MH_A, _MH_B
+
+    return ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from searchengine_ray.oracle import simple_sql
+    from searchengine_ray.pipelines.ops import minhash_min_equal
 
     stops = _stop_list()
     return {
@@ -536,6 +548,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sa.m + sb.m - inter AS BIGINT) AS uni "
             "FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
             "WHERE inter * 100 >= 50 * (sa.m + sb.m - inter)"
+        ),
+        "minhash_dedup": (
+            # exact replay of ops.minhash_dedup: same tokenizer → distinct
+            # 3-gram shingles ({''} for <3-token docs) → md5-64 base hash →
+            # 64 affine permutations (mod 2^64, HUGEINT-safe 63-bit
+            # constants) → per-perm min = signature → all-pairs equal-perm
+            # count ≥ minhash_min_equal.  No banding needed: ≥52 equal of
+            # 64 perms leaves ≤12 unequal perms over 16 bands, so ≥4 bands
+            # collide — LSH recall for verified pairs is exactly 1
+            # (pigeonhole), making the banded Ray pipeline == all-pairs.
+            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(COALESCE(text,'')), '[^a-z0-9]+'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, ts[CAST(i AS INT)] || ' ' || "
+            "ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2] AS s "
+            "FROM toks, UNNEST(generate_series(1, len(ts) - 2)) u(i) "
+            "WHERE len(ts) >= 3 "
+            "UNION SELECT doc_id, '' AS s FROM toks WHERE len(ts) < 3), "
+            "base AS (SELECT doc_id, "
+            "CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS h FROM sh), "
+            f"perm(i, a, b) AS (VALUES {_minhash_perm_values()}), "
+            "sig AS (SELECT doc_id, i, min(CAST((CAST(h AS HUGEINT) * a + b) "
+            "% 18446744073709551616 AS UBIGINT)) AS v "
+            "FROM base CROSS JOIN perm GROUP BY doc_id, i), "
+            "eq AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+            "count(*) FILTER (WHERE x.v = y.v) AS neq "
+            "FROM sig x JOIN sig y ON x.i = y.i AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT b AS doc_id, CAST(min(a) AS BIGINT) AS kept_by FROM eq "
+            f"WHERE neq >= {minhash_min_equal(0.8)} GROUP BY b"
         ),
         "embedding_neardup": (
             # exact all-pairs oracle over the SAME planted input the Ray

@@ -69,6 +69,7 @@ SQL_CHECKED = [
     "language_id_trigram",
     "ngram_jaccard",
     "fingerprint",
+    "minhash_dedup",
 ]
 
 
