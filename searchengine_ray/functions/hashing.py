@@ -106,10 +106,12 @@ def hash64_arr_b2(strs) -> np.ndarray:
 
 
 class WordHashCache:
-    """Memoized ``crc64(word) % 2^32`` (vocab is Zipfian; one per actor)."""
+    """Memoized ``crc64(word) % 2^32`` (vocab is Zipfian; one per actor).
+    ``hash64`` is the full crc64 — used by the 64-bit simhash scale path."""
 
     def __init__(self) -> None:
         self._cache: dict[str, int] = {}
+        self._cache64: dict[str, int] = {}
 
     def hash32(self, word: str) -> int:
         h = self._cache.get(word)
@@ -119,33 +121,52 @@ class WordHashCache:
                 self._cache[word] = h
         return h
 
+    def hash64(self, word: str) -> int:
+        h = self._cache64.get(word)
+        if h is None:
+            h = crc64(word.encode("utf-8"))
+            if len(self._cache64) < 2_000_000:
+                self._cache64[word] = h
+        return h
+
 
 _SHIFTS = np.arange(31, -1, -1, dtype=np.uint32)  # MSB-first, like the reference
 
 
-def simhash(wordcnts: dict[str, int], hash_cache: WordHashCache | None = None) -> int:
-    """32-bit simhash over a word-count dict, as a uint32 int.
+def simhash(
+    wordcnts: dict[str, int],
+    hash_cache: WordHashCache | None = None,
+    bits: int = 32,
+) -> int:
+    """Simhash over a word-count dict, as a uint int.
 
-    Bit 31 corresponds to the reference fingerprint's first character
-    (``lib/duphash.py:108-134``); a bit is set iff the signed sum is > 0.
+    ``bits=32`` (default) matches the reference fingerprint: bit 31
+    corresponds to its first character (``lib/duphash.py:108-134``); a bit
+    is set iff the signed sum is > 0.  ``bits=64`` is the scale-path
+    fingerprint (same construction over the full crc64 word hash) — at
+    ≳10^9 docs the 32-bit space saturates and Hamming≤3 stops being
+    selective, so D3's LSH mode switches to 64-bit values.
     """
     if not wordcnts:
         return 0  # all-zero fingerprint (sums are all 0, not > 0)
     hc = hash_cache or _DEFAULT_WORD_HASHES
+    word_hash = hc.hash64 if bits == 64 else hc.hash32
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
     hashes = np.fromiter(
-        (hc.hash32(w) for w in wordcnts), dtype=np.uint64, count=len(wordcnts)
+        (word_hash(w) for w in wordcnts), dtype=np.uint64, count=len(wordcnts)
     )
     counts = np.fromiter(wordcnts.values(), dtype=np.int64, count=len(wordcnts))
-    bits = ((hashes[:, None] >> _SHIFTS[None, :].astype(np.uint64)) & 1).astype(np.int64)
-    v = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+    bitm = ((hashes[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+    v = ((2 * bitm - 1) * counts[:, None]).sum(axis=0)
     # v[0] is the MSB (reference fingerprint char 0); bit set iff sum > 0
-    weights = (np.uint64(1) << _SHIFTS.astype(np.uint64))
-    return int((weights * (v > 0)).sum())
+    weights = np.uint64(1) << shifts
+    return int((weights * (v > 0)).sum(dtype=np.uint64))
 
 
 def simhash_batch(
     wordcnts_list: list[dict[str, int]],
     hash_cache: WordHashCache | None = None,
+    bits: int = 32,
 ) -> np.ndarray:
     """Vectorized :func:`simhash` over many word-count dicts at once
     (identical outputs — pinned by ``test_simhash_batch_matches_scalar``).
@@ -154,9 +175,11 @@ def simhash_batch(
     hot loop; here the batch vocabulary is deduped (Zipfian docs share
     words), the V×32 sign matrix is built once, and per-doc signed sums
     are one ``np.add.reduceat``.  Returns a uint32 array, one fingerprint
-    per input dict (empty dicts → 0, like the scalar)."""
+    per input dict (empty dicts → 0, like the scalar).  ``bits=64`` returns
+    uint64 scale-path fingerprints (see :func:`simhash`)."""
     n = len(wordcnts_list)
-    out = np.zeros(n, dtype=np.uint32)
+    udtype = np.uint64 if bits == 64 else np.uint32
+    out = np.zeros(n, dtype=udtype)
     if n == 0:
         return out
     hc = hash_cache or _DEFAULT_WORD_HASHES
@@ -176,13 +199,14 @@ def simhash_batch(
         offsets[d + 1] = len(idx)
     if not vocab:
         return out
+    word_hash = hc.hash64 if bits == 64 else hc.hash32
     hashes = np.fromiter(
-        (hc.hash32(w) for w in vocab), dtype=np.uint64, count=len(vocab)
+        (word_hash(w) for w in vocab), dtype=np.uint64, count=len(vocab)
     )
-    shifts = _SHIFTS.astype(np.uint64)
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
     signed = (
         2 * ((hashes[:, None] >> shifts[None, :]) & 1).astype(np.int64) - 1
-    )  # V×32, MSB-first
+    )  # V×bits, MSB-first
     contrib = signed[np.asarray(idx, dtype=np.int64)] * np.asarray(
         cnt, dtype=np.int64
     )[:, None]
@@ -192,7 +216,9 @@ def simhash_batch(
         # yield the element at its offset instead of 0)
         v = np.add.reduceat(contrib, offsets[nonempty], axis=0)
         weights = np.uint64(1) << shifts
-        out[nonempty] = (weights[None, :] * (v > 0)).sum(axis=1).astype(np.uint32)
+        out[nonempty] = (
+            (weights[None, :] * (v > 0)).sum(axis=1, dtype=np.uint64).astype(udtype)
+        )
     return out
 
 
@@ -210,6 +236,15 @@ def hamming32_vec(arr: np.ndarray, h: int) -> np.ndarray:
 def popcount32_mat(x: np.ndarray) -> np.ndarray:
     """Elementwise popcount of a uint32 array of any shape (LUT on bytes)."""
     view = x.view(np.uint8).reshape(x.shape + (4,))
+    return _POPCNT8[view].sum(axis=-1)
+
+
+def popcount_mat(x: np.ndarray) -> np.ndarray:
+    """Elementwise popcount of an unsigned integer array of any width/shape
+    (LUT on bytes; input must be C-contiguous, which fancy-indexed candidate
+    arrays always are)."""
+    nb = x.dtype.itemsize
+    view = x.view(np.uint8).reshape(x.shape + (nb,))
     return _POPCNT8[view].sum(axis=-1)
 
 

@@ -1,15 +1,29 @@
-"""Porter stemmer, implemented from scratch from the published algorithm
-(M.F. Porter, "An algorithm for suffix stripping", Program 14(3), 1980).
+"""Porter stemmer with two modes, implemented from scratch from the
+published algorithm (M.F. Porter, "An algorithm for suffix stripping",
+Program 14(3), 1980) and from NLTK's publicly documented extensions.
 
-The reference stems with NLTK's ``PorterStemmer`` (``lib/tokenize.py:12,57-62``).
-NLTK is not available in this environment, so this module implements the
-original published algorithm (plus NLTK's guard of returning words of length
-<= 2 unchanged). All parity tests in this repo are against the serial oracle
-in ``searchengine_ray.oracle``, which uses this same stemmer — the invariant
-under test is distributed == serial semantics, not NLTK equality.
+The reference stems with NLTK's ``PorterStemmer`` in its default
+``NLTK_EXTENSIONS`` mode (``lib/tokenize.py:12,57-62``). NLTK is not
+installable in this environment, so both behaviors are re-implemented here:
+
+- ``mode="porter"`` — the 1980 paper, rule for rule (plus NLTK's guard of
+  returning words of length <= 2 unchanged).
+- ``mode="nltk"`` (default, matching the reference) — the paper plus NLTK's
+  documented extensions: the irregular-forms pool (sky/dying/news/...),
+  the ``ies``/``ied`` 4-letter-word rules (dies→die, spied→spi), the
+  step-1c y→i condition (y preceded by a consonant that isn't the whole
+  stem: happy→happi but enjoy→enjoy, say→say), the apply-``alli``-first
+  re-entry in step 2, and the ``fulli``→ful / ``logi``→log rules. Rule
+  application is NLTK's first-match-stops semantics (the first rule whose
+  suffix matches is the only one considered). Anchored by the published
+  NLTK docstring demo goldens in ``tests/test_functions.py``.
 """
 
 from __future__ import annotations
+
+MODE_PORTER = "porter"  # Porter 1980, paper-exact
+MODE_NLTK = "nltk"  # NLTK PorterStemmer NLTK_EXTENSIONS behavior
+DEFAULT_MODE = MODE_NLTK
 
 _VOWELS = frozenset("aeiou")
 
@@ -102,8 +116,14 @@ def _blen(rule) -> int:
     return len(rule) if isinstance(rule, str) else len(rule[0])
 
 
-def stem(word: str) -> str:
+def stem(word: str, mode: str = DEFAULT_MODE) -> str:
     """Stem one (already lowercased) word."""
+    if mode == MODE_NLTK:
+        return _stem_nltk(word)
+    return _stem_porter1980(word)
+
+
+def _stem_porter1980(word: str) -> str:
     if len(word) <= 2:
         return word
 
@@ -182,17 +202,224 @@ def stem(word: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# NLTK_EXTENSIONS mode (the reference's actual stemmer behavior).
+# ---------------------------------------------------------------------------
+
+# Irregular forms drawn to Porter's attention over the algorithm's lifetime;
+# NLTK checks this pool before running any step.
+_NLTK_POOL: dict[str, str] = {}
+for _key, _forms in {
+    "sky": ["sky", "skies"],
+    "die": ["dying"],
+    "lie": ["lying"],
+    "tie": ["tying"],
+    "news": ["news"],
+    "inning": ["innings", "inning"],
+    "outing": ["outings", "outing"],
+    "canning": ["cannings", "canning"],
+    "howe": ["howe"],
+    "proceed": ["proceed"],
+    "exceed": ["exceed"],
+    "succeed": ["succeed"],
+}.items():
+    for _form in _forms:
+        _NLTK_POOL[_form] = _key
+del _key, _forms, _form
+
+
+def _pos_measure(stem_part: str) -> bool:
+    return _measure(stem_part) > 0
+
+
+def _apply_first(word: str, rules) -> str:
+    """NLTK-style rule application: the FIRST rule whose suffix matches is
+    the only one considered; if its condition fails, the word is returned
+    unchanged without trying any later rule. ``"*d"`` matches a trailing
+    double consonant; ``""`` matches unconditionally (stem = whole word)."""
+    for suffix, replacement, cond in rules:
+        if suffix == "*d":
+            if _ends_double_cons(word):
+                stem_part = word[:-2]
+                if cond is None or cond(stem_part):
+                    return stem_part + replacement
+                return word
+            continue
+        if word.endswith(suffix):
+            stem_part = word[: len(word) - len(suffix)] if suffix else word
+            if cond is None or cond(stem_part):
+                return stem_part + replacement
+            return word
+    return word
+
+
+def _nltk_step1a(word: str) -> str:
+    # extension: 4-letter "ies" keeps the e (dies->die, ties->tie) while
+    # longer words drop it (flies->fli)
+    if word.endswith("ies") and len(word) == 4:
+        return word[:-3] + "ie"
+    return _apply_first(
+        word,
+        [("sses", "ss", None), ("ies", "i", None), ("ss", "ss", None), ("s", "", None)],
+    )
+
+
+def _nltk_step1b(word: str) -> str:
+    # extension: "ied" mirrors the step-1a "ies" rule (died->die, spied->spi)
+    if word.endswith("ied"):
+        return word[:-3] + ("ie" if len(word) == 4 else "i")
+    if word.endswith("eed"):
+        stem_part = word[:-3]
+        return stem_part + "ee" if _measure(stem_part) > 0 else word
+    intermediate = None
+    for suffix in ("ed", "ing"):
+        if word.endswith(suffix):
+            s = word[: -len(suffix)]
+            if _has_vowel(s):
+                intermediate = s
+            break
+    if intermediate is None:
+        return word
+    last = intermediate[-1]
+    return _apply_first(
+        intermediate,
+        [
+            ("at", "ate", None),
+            ("bl", "ble", None),
+            ("iz", "ize", None),
+            ("*d", last, lambda _s: last not in ("l", "s", "z")),
+            ("", "e", lambda s: _measure(s) == 1 and _ends_cvc(s)),
+        ],
+    )
+
+
+def _nltk_step1c(word: str) -> str:
+    # extension: y->i only when y follows a consonant that isn't the entire
+    # stem ((*c and not c) Y -> I): happy->happi, enjoy->enjoy, cry->cri
+    if word.endswith("y"):
+        s = word[:-1]
+        if len(s) > 1 and _is_cons(s, len(s) - 1):
+            return s + "i"
+    return word
+
+
+def _nltk_step2(word: str) -> str:
+    # extension: apply alli->al BEFORE the table and re-enter step 2
+    if word.endswith("alli") and _measure(word[:-4]) > 0:
+        return _nltk_step2(word[:-4] + "al")
+    return _apply_first(
+        word,
+        [
+            ("ational", "ate", _pos_measure),
+            ("tional", "tion", _pos_measure),
+            ("enci", "ence", _pos_measure),
+            ("anci", "ance", _pos_measure),
+            ("izer", "ize", _pos_measure),
+            # NLTK uses the paper's later bli->ble variant, not abli->able
+            ("bli", "ble", _pos_measure),
+            ("alli", "al", _pos_measure),
+            ("entli", "ent", _pos_measure),
+            ("eli", "e", _pos_measure),
+            ("ousli", "ous", _pos_measure),
+            ("ization", "ize", _pos_measure),
+            ("ation", "ate", _pos_measure),
+            ("ator", "ate", _pos_measure),
+            ("alism", "al", _pos_measure),
+            ("iveness", "ive", _pos_measure),
+            ("fulness", "ful", _pos_measure),
+            ("ousness", "ous", _pos_measure),
+            ("aliti", "al", _pos_measure),
+            ("iviti", "ive", _pos_measure),
+            ("biliti", "ble", _pos_measure),
+            # extensions
+            ("fulli", "ful", _pos_measure),
+            # the l of "logi" stays with the stem so short stems (geo-,
+            # theo-) behave like long ones (archaeo-): condition sees
+            # word[:-3], the replacement re-attaches "log"
+            ("logi", "log", lambda _s, _w=word: _measure(_w[:-3]) > 0),
+        ],
+    )
+
+
+def _nltk_step3(word: str) -> str:
+    return _apply_first(
+        word,
+        [
+            ("icate", "ic", _pos_measure),
+            ("ative", "", _pos_measure),
+            ("alize", "al", _pos_measure),
+            ("iciti", "ic", _pos_measure),
+            ("ical", "ic", _pos_measure),
+            ("ful", "", _pos_measure),
+            ("ness", "", _pos_measure),
+        ],
+    )
+
+
+def _gt1_measure(stem_part: str) -> bool:
+    return _measure(stem_part) > 1
+
+
+def _nltk_step4(word: str) -> str:
+    return _apply_first(
+        word,
+        [
+            ("al", "", _gt1_measure),
+            ("ance", "", _gt1_measure),
+            ("ence", "", _gt1_measure),
+            ("er", "", _gt1_measure),
+            ("ic", "", _gt1_measure),
+            ("able", "", _gt1_measure),
+            ("ible", "", _gt1_measure),
+            ("ant", "", _gt1_measure),
+            ("ement", "", _gt1_measure),
+            ("ment", "", _gt1_measure),
+            ("ent", "", _gt1_measure),
+            ("ion", "", lambda s: _measure(s) > 1 and bool(s) and s[-1] in ("s", "t")),
+            ("ou", "", _gt1_measure),
+            ("ism", "", _gt1_measure),
+            ("ate", "", _gt1_measure),
+            ("iti", "", _gt1_measure),
+            ("ous", "", _gt1_measure),
+            ("ive", "", _gt1_measure),
+            ("ize", "", _gt1_measure),
+        ],
+    )
+
+
+def _stem_nltk(word: str) -> str:
+    if word in _NLTK_POOL:
+        return _NLTK_POOL[word]
+    if len(word) <= 2:
+        return word
+    w = _nltk_step1a(word)
+    w = _nltk_step1b(w)
+    w = _nltk_step1c(w)
+    w = _nltk_step2(w)
+    w = _nltk_step3(w)
+    w = _nltk_step4(w)
+    # steps 5a/5b are unchanged from the paper
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
 class CachedStemmer:
     """Memoizing stemmer for hot loops (vocabulary is Zipfian, so the cache
     hit rate is high). One instance per tokenize actor (SURVEY.md §2.2 M7)."""
 
-    def __init__(self) -> None:
+    def __init__(self, mode: str = DEFAULT_MODE) -> None:
         self._cache: dict[str, str] = {}
+        self._mode = mode
 
     def stem(self, word: str) -> str:
         s = self._cache.get(word)
         if s is None:
-            s = stem(word)
+            s = stem(word, self._mode)
             if len(self._cache) < 2_000_000:
                 self._cache[word] = s
         return s

@@ -76,6 +76,11 @@ class BuildConfig:
     # payload, simple_tokens, no stem) that lets a DuckDB oracle hash-check
     # the identical distributed build end-to-end (stages/extract.py).
     tokenizer: str = "reference"
+    # stemmer behavior for the "reference" tokenizer chain: "nltk" (default,
+    # matching the reference's NLTK PorterStemmer NLTK_EXTENSIONS mode) or
+    # "porter" (the 1980 paper, rule-exact). Recorded in the manifest so the
+    # query path stems with the same mode the index was built with.
+    stemmer_mode: str = "nltk"
     # near-dup mode: "window" replicates the reference's sequential
     # 200-window semantics (parity w/ oracle); "lsh" is the scale path
     # (simhash Hamming-ball, global not windowed); "off" disables D3;
@@ -84,6 +89,11 @@ class BuildConfig:
     # AUTO_JOIN_EDGE_THRESHOLD — the flagship default stays parity-correct
     # at fixture scale without becoming a driver-serial scan at 100x.
     near_dup_mode: str = "auto"
+    # simhash fingerprint width: 32 (reference parity, required for the
+    # "window" D3 mode) or 64 (scale path — at ≳10^9 docs the 32-bit value
+    # space saturates and Hamming≤3 stops being selective; 64-bit always
+    # runs the fully distributed Hamming-ball prune)
+    simhash_bits: int = 32
     # replicate the reference's importance bug (makeindex.py:231-234:
     # the loop assigns `importance` but the posting reads `important`,
     # so emitted importance is always 0). False = intended semantics.

@@ -322,6 +322,7 @@ def build_index(
                     "importance_bug": cfg.importance_bug,
                     "emit_text": cfg.keep_text,
                     "mode": cfg.tokenizer,
+                    "stemmer_mode": cfg.stemmer_mode,
                 },
                 batch_format="pyarrow",
                 batch_size=cfg.extract_batch_size,
@@ -339,6 +340,7 @@ def build_index(
                     importance_bug=cfg.importance_bug,
                     emit_text=cfg.keep_text,
                     mode=cfg.tokenizer,
+                    stemmer_mode=cfg.stemmer_mode,
                 ),
                 batch_format="pyarrow",
                 batch_size=cfg.extract_batch_size,
@@ -356,6 +358,10 @@ def build_index(
     # ---- 6: near-dup (D3) ----------------------------------------------
     t0 = time.perf_counter()
     near_dup_mode = cfg.near_dup_mode
+    if cfg.simhash_bits != 32 and near_dup_mode in ("auto", "window"):
+        # the 200-window parity scan is defined on the 32-bit reference
+        # fingerprint; wider fingerprints always take the distributed path
+        near_dup_mode = "lsh"
     if near_dup_mode == "auto":
         # parity window below the threshold, distributed Hamming-ball above
         # (documented semantic divergence: global vs 200-window; SURVEY D3)
@@ -367,9 +373,15 @@ def build_index(
             np.fromiter(dedup.simhash_prune_window(extracted), dtype=np.int64)
         )
     elif near_dup_mode == "lsh":
-        pt = pa.concat_tables(
-            ray.get(dedup.simhash_prune_lsh(extracted).materialize().to_arrow_refs())
-        )
+        if cfg.simhash_bits == 32:
+            # driver distinct-merge path: fastest at ≤2^32 distinct values
+            pruned_ds = dedup.simhash_prune_lsh(extracted)
+        else:
+            # O(1)-driver shuffle path (also the ≥10^9-doc path)
+            pruned_ds = dedup.simhash_prune_lsh_distributed(
+                extracted, bits=cfg.simhash_bits
+            )
+        pt = pa.concat_tables(ray.get(pruned_ds.materialize().to_arrow_refs()))
         pruned_arr = np.sort(pt["docid"].to_numpy())
     else:
         pruned_arr = np.empty(0, dtype=np.int64)

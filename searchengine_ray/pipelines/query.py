@@ -57,6 +57,13 @@ class QueryEngine:
         # "simple" indexes are unstemmed simple_tokens (the SQL-parity
         # variant), "reference" is tokenize+Porter
         self.tokenizer_mode = manifest["config"].get("tokenizer", "reference")
+        # stem queries with the same mode the index was built with
+        # ("nltk" = reference NLTK_EXTENSIONS behavior, "porter" = 1980 paper)
+        from searchengine_ray.functions import porter
+
+        self._stemmer = porter.CachedStemmer(
+            manifest["config"].get("stemmer_mode", porter.DEFAULT_MODE)
+        )
 
         docs = pq.read_table(os.path.join(index_dir, "docs"))
         n = self.last_docid + 1
@@ -121,7 +128,7 @@ class QueryEngine:
     def _qtokens(self, query: str) -> list[str]:
         if self.tokenizer_mode == "simple":
             return tokenizer.simple_tokens(query)
-        return tokenizer.stem_tokens(tokenizer.tokenize(query))
+        return tokenizer.stem_tokens(tokenizer.tokenize(query), self._stemmer)
 
     # ------------------------------------------------------- reference mode
 

@@ -132,10 +132,13 @@ def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
     value's threshold.
 
     Exact (asserted vs an all-pairs oracle in tests), order-free,
-    O(V·34·(log V + bucket)) total.  Caveat: V caps at 2^32 — at ≳10^9
-    docs the 32-bit reference simhash saturates and Hamming≤3 stops being
-    selective; the true scale path is a 64/128-bit simhash with the same
-    structure.
+    O(V·34·(log V + bucket)) total.  Caveat: the distinct-value table
+    merges on the driver — bounded by V ≤ 2^32 (~48 GB at saturation),
+    fine to ~10^8 docs.  Beyond that use
+    :func:`simhash_prune_lsh_distributed` (same semantics, O(1) driver,
+    32- or 64-bit), which ``BuildConfig.simhash_bits=64`` selects
+    automatically; at ≳10^9 docs the 32-bit value space itself saturates
+    and the 64-bit fingerprint is required for Hamming≤3 to stay selective.
     """
     import ray as _ray
 
@@ -249,3 +252,203 @@ def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
     return extracted.select_columns(["docid", "simhash"]).map_batches(
         prune, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fully distributed Hamming-ball prune (32- and 64-bit; no driver merge).
+# ---------------------------------------------------------------------------
+
+# threshold tables smaller than this are broadcast (ray.put sorted arrays)
+# for the final prune pass; larger ones run a hash join instead
+LSH_BROADCAST_THRESHOLD = 2_000_000
+
+
+def _cluster_parts() -> int:
+    import ray as _ray
+
+    return max(8, int(_ray.cluster_resources().get("CPU", 8)))
+
+
+def simhash_prune_lsh_distributed(
+    extracted: ray.data.Dataset,
+    bits: int = params.SIMHASH_BITS,
+    max_hamming: int = params.SIMHASH_HAMMING_MAX,
+) -> ray.data.Dataset:
+    """Scale-mode D3 with O(1) driver state, at 32- or 64-bit width.
+
+    Same exact global Hamming-ball semantics as :func:`simhash_prune_lsh`
+    (each doc pruned iff ANY lower-docid doc sits within Hamming ≤ 3 of its
+    fingerprint — equality tested both ways in ``test_scale_paths``), but
+    every step is a Dataset shuffle, so nothing scales with corpus size on
+    the driver:
+
+    1. map-side combine + ``groupby(simhash).min(docid)`` → distinct-value
+       table (V rows, distributed);
+    2. each value is emitted into 4 piece buckets (key = the k-th of 4
+       disjoint ``bits/4``-bit slices).  Pigeonhole: ham(u,v) ≤ 3 over 4
+       disjoint pieces forces at least one piece EXACTLY equal, so every
+       neighbour pair co-locates in ≥1 bucket — one ``groupby(bucket)``;
+    3. inside each bucket group (``map_groups``), the remaining bits are
+       half-split and probed with ≤1-flip masks over a sorted key table
+       (ham ≤ 3 in the remainder ⇒ one half within ham ≤ 1), candidates
+       verified by full-width popcount — the same probe structure as the
+       driver path, just scoped to the group;
+    4. ``groupby(simhash).min(thr)`` min-combines the 4 per-bucket
+       thresholds, and the prune pass reads the threshold table via
+       broadcast (≤ ``LSH_BROADCAST_THRESHOLD`` rows) or a cluster-sized
+       hash join above that.
+
+    Driver memory is O(1); worker memory is O(largest bucket) — buckets are
+    V/2^(bits/4) expected (V/256 at 32-bit, V/65536 at 64-bit).  Use
+    ``bits=64`` beyond ~10^9 docs, where the 32-bit value space saturates.
+    """
+    import ray as _ray
+
+    udtype = np.uint64 if bits == 64 else np.uint32
+    piece_bits = bits // 4  # 8 at 32-bit, 16 at 64-bit
+    rem_bits = bits - piece_bits
+    half_bits = rem_bits // 2  # 12 / 24
+
+    def _to_u(a: np.ndarray) -> np.ndarray:
+        if udtype == np.uint64:
+            return a.view(np.uint64) if a.dtype == np.int64 else a.astype(np.uint64)
+        return a.astype(np.uint32)
+
+    def _to_i64(a: np.ndarray) -> np.ndarray:
+        return a.view(np.int64) if a.dtype == np.uint64 else a.astype(np.int64)
+
+    def block_min(batch: pa.Table) -> pa.Table:
+        sims = _to_u(batch["simhash"].to_numpy())
+        docids = batch["docid"].to_numpy()
+        order = np.argsort(docids, kind="stable")
+        u, first = np.unique(sims[order], return_index=True)
+        return pa.table(
+            {
+                "simhash": pa.array(_to_i64(u), pa.int64()),
+                "mind": pa.array(docids[order][first], pa.int64()),
+            }
+        )
+
+    distinct = (
+        extracted.select_columns(["docid", "simhash"])
+        .map_batches(block_min, batch_format="pyarrow")
+        .groupby("simhash")
+        .min("mind")
+    )
+
+    piece_mask = (1 << piece_bits) - 1
+
+    def expand(batch: pa.Table) -> pa.Table:
+        sims = _to_u(batch["simhash"].to_numpy())
+        minds = batch["min(mind)"].to_numpy().astype(np.int64)
+        buckets = []
+        for k in range(4):
+            piece = (sims >> udtype(k * piece_bits)) & udtype(piece_mask)
+            buckets.append(
+                (np.int64(k) << np.int64(piece_bits)) | piece.astype(np.int64)
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                "simhash": pa.array(np.tile(_to_i64(sims), 4), pa.int64()),
+                "mind": pa.array(np.tile(minds, 4), pa.int64()),
+            }
+        )
+
+    half_masks = np.concatenate(
+        [[0], 1 << np.arange(half_bits, dtype=np.uint64)]
+    ).astype(udtype)
+    rem_mask = udtype((1 << rem_bits) - 1)
+    half_mask = udtype((1 << half_bits) - 1)
+
+    def group_thr(group: pa.Table) -> pa.Table:
+        vals = _to_u(group["simhash"].to_numpy())
+        minds = group["mind"].to_numpy().astype(np.int64)
+        thr = minds.copy()
+        n = vals.size
+        if n > 1:
+            k = int(group["bucket"][0].as_py()) >> piece_bits
+            # compress out piece k → rem_bits-wide remainder
+            low_w = udtype(k * piece_bits)
+            low = vals & ((udtype(1) << low_w) - udtype(1)) if k else np.zeros(
+                n, dtype=udtype
+            )
+            shift_hi = (k + 1) * piece_bits
+            high = (
+                vals >> udtype(shift_hi)
+                if shift_hi < bits
+                else np.zeros(n, dtype=udtype)
+            )
+            rem = ((high << low_w) | low) & rem_mask
+            halves = (rem >> udtype(half_bits), rem & half_mask)
+            owner_base = np.arange(n)
+            for hv in halves:
+                o = np.argsort(hv, kind="stable")
+                keys_s = hv[o]
+                for m in half_masks:
+                    probe = hv ^ m
+                    lo = np.searchsorted(keys_s, probe, side="left")
+                    hi = np.searchsorted(keys_s, probe, side="right")
+                    counts = hi - lo
+                    total = int(counts.sum())
+                    if total == 0:
+                        continue
+                    owner = np.repeat(owner_base, counts)
+                    idx = np.repeat(lo, counts) + (
+                        np.arange(total)
+                        - np.repeat(np.cumsum(counts) - counts, counts)
+                    )
+                    cand = o[idx]
+                    ham = hashing.popcount_mat(vals[cand] ^ vals[owner])
+                    ok = ham <= max_hamming
+                    np.minimum.at(thr, owner[ok], minds[cand[ok]])
+        return pa.table(
+            {
+                "simhash": group["simhash"],
+                "thr": pa.array(thr, pa.int64()),
+            }
+        )
+
+    thr_ds = (
+        distinct.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(group_thr, batch_format="pyarrow")
+        .groupby("simhash")
+        .min("thr")
+        .materialize()
+    )
+    n_values = thr_ds.count()
+
+    if n_values <= LSH_BROADCAST_THRESHOLD:
+        tt = pa.concat_tables(_ray.get(thr_ds.to_arrow_refs()))
+        tvals = _to_u(tt["simhash"].to_numpy())
+        tthr = tt["min(thr)"].to_numpy().astype(np.int64)
+        torder = np.argsort(tvals)
+        thr_ref = _ray.put((tvals[torder], tthr[torder]))
+
+        def prune(batch: pa.Table) -> pa.Table:
+            sv, thr = _ray.get(thr_ref)
+            sims = _to_u(batch["simhash"].to_numpy())
+            docids = batch["docid"].to_numpy()
+            pos = np.searchsorted(sv, sims)
+            pos_c = np.minimum(pos, sv.size - 1)
+            mask = docids > thr[pos_c]
+            return pa.table({"docid": pa.array(docids[mask], pa.int64())})
+
+        return extracted.select_columns(["docid", "simhash"]).map_batches(
+            prune, batch_format="pyarrow"
+        )
+
+    # threshold table too large to broadcast: cluster-sized hash join
+    joined = extracted.select_columns(["docid", "simhash"]).join(
+        thr_ds,
+        join_type="inner",
+        num_partitions=_cluster_parts(),
+        on=("simhash",),
+    )
+
+    def filter_pruned(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch["docid"], batch["min(thr)"])
+        return pa.table({"docid": batch.filter(mask)["docid"]})
+
+    return joined.map_batches(filter_pruned, batch_format="pyarrow")

@@ -104,8 +104,13 @@ class ExtractBatch:
         importance_bug: bool = True,
         emit_text: bool = True,
         mode: str = "reference",
+        stemmer_mode: str | None = None,
+        simhash_bits: int = 32,
     ) -> None:
-        self._stemmer = CachedStemmer()
+        self._stemmer = (
+            CachedStemmer(stemmer_mode) if stemmer_mode else CachedStemmer()
+        )
+        self._simhash_bits = simhash_bits
         self._word_hashes = hashing.WordHashCache()
         self._importance_bug = importance_bug
         # emit_text=False writes "" to the text column (the checkpoint can
@@ -142,7 +147,11 @@ class ExtractBatch:
             wc = tokenizer.word_count(tokens)
             raw_counts.append(wc)
             per_doc.append((docid, url, text, tag_text, links, len(tokens), wc))
-        sims = hashing.simhash_batch(raw_counts, self._word_hashes)
+        sims = hashing.simhash_batch(
+            raw_counts, self._word_hashes, bits=self._simhash_bits
+        )
+        if sims.dtype == np.uint64:
+            sims = sims.view(np.int64)  # wrap into the int64 schema column
 
         # phase 2: stem each UNIQUE token once and merge counts (identical
         # dict insertion order to stemming the full sequence: the first
@@ -198,6 +207,8 @@ def extract_batch_task(
     importance_bug: bool = True,
     emit_text: bool = True,
     mode: str = "reference",
+    stemmer_mode: str | None = None,
+    simhash_bits: int = 32,
 ) -> pa.Table:
     """Task-pool variant of :class:`ExtractBatch` with the stateful setup
     cached per worker *process* (Ray Data tasks reuse warm workers, so the
@@ -206,11 +217,15 @@ def extract_batch_task(
     because it skips actor-pool cold start and autoscaler ramp on every
     build).  The actor-pool class remains available via
     ``BuildConfig.extract_concurrency``."""
-    key = (importance_bug, emit_text, mode)
+    key = (importance_bug, emit_text, mode, stemmer_mode, simhash_bits)
     eb = _TASK_STATE.get(key)
     if eb is None:
         eb = ExtractBatch(
-            importance_bug=importance_bug, emit_text=emit_text, mode=mode
+            importance_bug=importance_bug,
+            emit_text=emit_text,
+            mode=mode,
+            stemmer_mode=stemmer_mode,
+            simhash_bits=simhash_bits,
         )
         _TASK_STATE[key] = eb
     return eb(batch)

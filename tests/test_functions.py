@@ -84,16 +84,81 @@ PORTER_GOLDEN = {
 
 def test_porter_golden():
     bad = {
-        w: (porter.stem(w), want)
+        w: (porter.stem(w, mode="porter"), want)
         for w, want in PORTER_GOLDEN.items()
-        if porter.stem(w) != want
+        if porter.stem(w, mode="porter") != want
     }
     assert not bad, bad
+
+
+# Published golden: the NLTK PorterStemmer docstring demo (nltk/stem/porter.py,
+# public docs) — input list and expected output verbatim.
+NLTK_DEMO_WORDS = (
+    "caresses flies dies mules denied died agreed owned humbled sized "
+    "meeting stating siezing itemization sensational traditional reference "
+    "colonizer plotted"
+).split()
+NLTK_DEMO_STEMS = (
+    "caress fli die mule deni die agre own humbl size meet state siez item "
+    "sensat tradit refer colon plot"
+).split()
+
+# The documented NLTK_EXTENSIONS deltas from the 1980 paper: the irregular
+# forms pool, the 4-letter ies/ied rules, the step-1c y->i condition, and
+# the fulli/logi rules.
+NLTK_EXTENSION_GOLDEN = {
+    # irregular-forms pool
+    "sky": "sky", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "news": "news", "innings": "inning", "inning": "inning",
+    "outings": "outing", "cannings": "canning", "howe": "howe",
+    "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+    # ies/ied 4-letter rules
+    "ties": "tie", "dies": "die", "flies": "fli", "spied": "spi",
+    "died": "die", "cried": "cri",
+    # step-1c (*c and not c) Y -> I
+    "happy": "happi", "enjoy": "enjoy", "cry": "cri", "say": "say",
+    # logi -> log (the l stays with the stem, so short geo-/theo- stems work)
+    "geology": "geolog", "archaeology": "archaeolog",
+    "controlled": "control",
+}
+
+
+def test_nltk_demo_golden():
+    got = [porter.stem(w, mode="nltk") for w in NLTK_DEMO_WORDS]
+    assert got == NLTK_DEMO_STEMS, list(zip(NLTK_DEMO_WORDS, got, NLTK_DEMO_STEMS))
+
+
+def test_nltk_extension_golden():
+    bad = {
+        w: (porter.stem(w, mode="nltk"), want)
+        for w, want in NLTK_EXTENSION_GOLDEN.items()
+        if porter.stem(w, mode="nltk") != want
+    }
+    assert not bad, bad
+
+
+def test_modes_differ_where_documented():
+    # the 1980 paper stems these differently — proves the two modes are
+    # really two implementations, not one behind a flag
+    assert porter.stem("ties", mode="porter") == "ti"
+    assert porter.stem("say", mode="porter") == "sai"
+    assert porter.stem("cry", mode="porter") == "cry"
+    assert porter.stem("skies", mode="porter") == "ski"
+    assert porter.stem("dying", mode="porter") == "dy"
+
+
+def test_default_mode_is_nltk():
+    # the reference stems with NLTK's default NLTK_EXTENSIONS mode
+    assert porter.DEFAULT_MODE == "nltk"
+    assert porter.stem("ties") == "tie"
+    assert porter.CachedStemmer().stem("dying") == "die"
+    assert porter.CachedStemmer(mode="porter").stem("dying") == "dy"
 
 
 def test_porter_short_words_unchanged():
     assert porter.stem("is") == "is"
     assert porter.stem("a") == "a"
+    assert porter.stem("is", mode="porter") == "is"
 
 
 @given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=30))
