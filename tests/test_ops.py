@@ -230,3 +230,36 @@ def test_language_id_trigram(entry, ray_session):
     # the synthetic docs are English-ish data vocabulary
     en = sum(1 for r in rows if r["pred_lang"] == "en")
     assert en > len(rows) * 0.5
+
+
+def test_verified_prune_join_matches_driver(entry, ray_session, monkeypatch):
+    """The gated driver-vectorized verify path and the distributed
+    hash-join fallback must produce identical prune maps (mirrors the
+    D1/D2 driver-vs-groupby equivalence test in test_scale_paths)."""
+    from searchengine_ray.pipelines import ops
+
+    driver = {
+        (r["doc_id"], r["kept_by"]) for r in ops.minhash_dedup(SF).take_all()
+    }
+    monkeypatch.setattr(ops, "_DRIVER_VERIFY_PAIR_LIMIT", -1)  # force join path
+    joined = {
+        (r["doc_id"], r["kept_by"]) for r in ops.minhash_dedup(SF).take_all()
+    }
+    assert driver == joined
+    assert driver  # non-vacuous: sf0.001 has real near-dup pairs
+
+
+def test_ngram_jaccard_join_matches_driver(entry, ray_session, monkeypatch):
+    from searchengine_ray.pipelines import ops
+
+    driver = {
+        (r["a"], r["b"], r["inter"], r["uni"])
+        for r in ops.ngram_jaccard_pairs(SF).take_all()
+    }
+    monkeypatch.setattr(ops, "_DRIVER_VERIFY_PAIR_LIMIT", -1)
+    joined = {
+        (r["a"], r["b"], r["inter"], r["uni"])
+        for r in ops.ngram_jaccard_pairs(SF).take_all()
+    }
+    assert driver == joined
+    assert driver
