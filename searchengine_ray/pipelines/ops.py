@@ -427,6 +427,43 @@ def _join_parts(n_rows: int | None = None) -> int:
 # threshold, distributed shuffle above it — both paths tested equal).
 _DRIVER_VERIFY_PAIR_LIMIT = 2_000_000  # id pairs pulled to the driver (32 MB)
 _DRIVER_VERIFY_PAYLOAD_BYTES = 1 << 30  # filtered payload cap (1 GiB)
+_HOT_KEY_BROADCAST_LIMIT = 20_000_000  # colliding-key broadcast cap (160 MB)
+
+
+def _colliding_key_rows(rows: ray.data.Dataset, key_col: str) -> ray.data.Dataset:
+    """Drop rows whose ``key_col`` value appears only once globally.
+
+    ``groupby(key).map_groups(emit_pairs)`` over raw LSH/prefix keys runs
+    a Python call per group, and almost all groups are singletons that
+    emit nothing (ngram prefixes at sf0.1: ~1M keys, ~25 s of pure
+    per-group overhead).  A native vectorized ``groupby(key).count()``
+    finds the rare colliding keys first; they are broadcast once
+    (``ray.put``, sorted-membership filter) so the per-group Python only
+    ever runs on keys that can actually emit a pair.  Above the broadcast
+    gate the input is returned unchanged — singleton groups are harmless,
+    just slow."""
+    counts = rows.groupby(key_col).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)).select([key_col]),
+        batch_format="pyarrow",
+    ).materialize()
+    if hot.count() > _HOT_KEY_BROADCAST_LIMIT:
+        return rows
+    hk = np.sort(
+        pa.concat_tables(ray.get(hot.to_arrow_refs()))[key_col].to_numpy()
+    )
+    hk_ref = ray.put(hk)
+
+    def member(batch: pa.Table) -> pa.Table:
+        keys_sorted = ray.get(hk_ref)
+        vals = batch[key_col].to_numpy()
+        pos = np.searchsorted(keys_sorted, vals)
+        pos[pos == keys_sorted.size] = 0
+        if keys_sorted.size == 0:
+            return batch.slice(0, 0)
+        return batch.filter(pa.array(keys_sorted[pos] == vals))
+
+    return rows.map_batches(member, batch_format="pyarrow")
 
 
 def _pair_payload_table(
@@ -931,13 +968,16 @@ def ngram_jaccard_pairs(
             }
         )
 
-    cand = (
-        sigs_ds.map_batches(prefixes, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    prefix_ds = (
+        sigs_ds.map_batches(prefixes, batch_format="pyarrow").materialize()
     )
+    cand = _colliding_key_rows(prefix_ds, "key").groupby("key").map_groups(
+        emit_pairs, batch_format="pyarrow"
+    )
+    # NOTE: pairs proposed by multiple shared prefixes are NOT pre-deduped
+    # here — the driver path dedupes them in numpy and the join fallback
+    # dedupes below (a distributed pair-dedup groupby costs more than the
+    # rare duplicates it removes).
 
     tbl, cand_mat, n_pairs = _pair_payload_table(cand, sigs_ds, "doc_id", ["sig"])
 
@@ -987,6 +1027,9 @@ def ngram_jaccard_pairs(
         # driver-vectorized verify (same gates/rationale as _verified_prune)
         return ray.data.from_arrow(verify(tbl))
     nparts = _join_parts(n_pairs)
+    cand_mat = cand_mat.groupby(["a", "b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
     sa = sigs_ds.map_batches(
         lambda t: pa.table({"a": t["doc_id"], "sig_a": t["sig"]}),
         batch_format="pyarrow",
