@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": ops.knn_ivf,
         "fingerprint": ops.fingerprint,
         "token_count_bpe": ops.token_count_bpe,
+        "quality_score": ops.quality_score,
         "language_id_trigram": ops.language_id_trigram,
         "media_features": media_features,
         "media_meta": media_meta,
@@ -636,6 +637,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_extract_all(COALESCE(text,''), "
             "'[A-Za-z]+|[0-9]{1,3}|[^\\sA-Za-z0-9]+')) AS BIGINT) AS n_bpe_tokens "
             "FROM documents"
+        ),
+        "quality_score": (
+            # Shares RE2 char classes verbatim with ops.quality_score; the
+            # keep flag is integer arithmetic only, so the match is exact.
+            "WITH chars AS (SELECT doc_id, "
+            "CAST(length(COALESCE(text,'')) AS BIGINT) AS n_chars, "
+            "CAST(length(regexp_replace(COALESCE(text,''), '[^A-Za-z]', '', 'g')) "
+            "AS BIGINT) AS n_alpha, "
+            "CAST(length(regexp_replace(COALESCE(text,''), '[^0-9]', '', 'g')) "
+            "AS BIGINT) AS n_digit, "
+            "CAST(length(COALESCE(text,'')) - length(regexp_replace("
+            "COALESCE(text,''), '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, count(*) AS n_tokens, "
+            f"CAST(sum(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_stop FROM ({_TOKS}) GROUP BY doc_id) "
+            "SELECT c.doc_id, c.n_chars, c.n_alpha, c.n_digit, c.n_punct, "
+            "COALESCE(t.n_tokens, 0) AS n_tokens, COALESCE(t.n_stop, 0) AS n_stop, "
+            "(COALESCE(t.n_tokens, 0) BETWEEN 10 AND 100000 "
+            "AND c.n_alpha >= 3 * COALESCE(t.n_tokens, 0) "
+            "AND c.n_alpha <= 12 * COALESCE(t.n_tokens, 0) "
+            "AND COALESCE(t.n_stop, 0) >= 2 "
+            "AND 5 * c.n_punct <= c.n_chars) AS keep "
+            "FROM chars c LEFT JOIN toks t ON c.doc_id = t.doc_id"
         ),
         "language_id_trigram": (
             "WITH t AS (SELECT doc_id, ' ' || lower(COALESCE(text,'')) || ' ' AS s "

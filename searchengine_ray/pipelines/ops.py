@@ -269,6 +269,63 @@ def language_id_trigram(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# Character-class regexes shared (as RE2 semantics) with the DuckDB oracle;
+# both sides run RE2, so the ASCII POSIX classes behave identically.
+_QS_ALPHA_RE = "[A-Za-z]"
+_QS_DIGIT_RE = "[0-9]"
+_QS_PUNCT_RE = "[[:punct:]]"
+
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1 shape):
+    per-doc character/token composition counts plus an integer-arithmetic
+    ``keep`` flag — 10 ≤ tokens ≤ 100k, mean alpha-chars/token in [3, 12],
+    ≥2 stopwords, punctuation ≤ 20% of characters.  All counts are ints and
+    the flag uses only integer comparisons, so the DuckDB oracle checks it
+    exactly.  Fully vectorized: Arrow ``count_substring_regex`` kernels +
+    the shared :func:`_doc_token_counts` bincounts, no Python row loop."""
+
+    def qs(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(_acol(batch, "text"), "")
+
+        def _count(pat: str) -> np.ndarray:
+            return (
+                pc.count_substring_regex(text, pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+
+        n_chars = (
+            pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n_alpha = _count(_QS_ALPHA_RE)
+        n_digit = _count(_QS_DIGIT_RE)
+        n_punct = _count(_QS_PUNCT_RE)
+        n_tok, _, n_stop = _doc_token_counts(batch)
+        keep = (
+            (n_tok >= 10)
+            & (n_tok <= 100_000)
+            & (n_alpha >= 3 * n_tok)
+            & (n_alpha <= 12 * n_tok)
+            & (n_stop >= 2)
+            & (5 * n_punct <= n_chars)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(_acol(batch, "doc_id"), pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_alpha": pa.array(n_alpha, pa.int64()),
+                "n_digit": pa.array(n_digit, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return _docs_text(sf_dir).map_batches(qs, batch_format="pyarrow")
+
+
 def _md5_60(s: str) -> int:
     """60-bit shingle hash shared VERBATIM with the DuckDB oracle:
     ``CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)``."""

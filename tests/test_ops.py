@@ -66,6 +66,7 @@ SQL_CHECKED = [
     "orders_by_segment",
     "knn_cosine",
     "token_count_bpe",
+    "quality_score",
     "language_id_trigram",
     "ngram_jaccard",
     "fingerprint",
