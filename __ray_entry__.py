@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": ops.knn_cosine,
         # --- dedup / similarity (deterministic, rows-only oracle)
         "minhash_dedup": ops.minhash_dedup,
+        "clean_corpus": ops.clean_corpus,
         "simhash_dedup": ops.simhash_dedup,
         "ngram_jaccard": ops.ngram_jaccard_pairs,
         "embedding_neardup": ops.embedding_neardup,
@@ -458,6 +459,62 @@ def _minhash_perm_values() -> str:
 
     return ", ".join(
         f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+
+
+def _minhash_cte(src: str) -> str:
+    """CTE chain replaying ops.minhash_prune over relation ``src(doc_id,
+    text)``: same tokenizer → distinct 3-gram shingles ({''} for <3-token
+    docs) → md5-64 base hash → 64 affine permutations (mod 2^64,
+    HUGEINT-safe 63-bit constants) → per-perm min = signature → all-pairs
+    equal-perm count in ``eq(a, b, neq)``.  No banding needed: ≥52 equal
+    of 64 perms leaves ≤12 unequal perms over 16 bands, so ≥4 bands
+    collide — LSH recall for verified pairs is exactly 1 (pigeonhole),
+    making the banded Ray pipeline == all-pairs."""
+    return (
+        "toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(COALESCE(text,'')), '[^a-z0-9]+'), x -> x <> '') AS ts "
+        f"FROM {src}), "
+        "sh AS (SELECT DISTINCT doc_id, ts[CAST(i AS INT)] || ' ' || "
+        "ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2] AS s "
+        "FROM toks, UNNEST(generate_series(1, len(ts) - 2)) u(i) "
+        "WHERE len(ts) >= 3 "
+        "UNION SELECT doc_id, '' AS s FROM toks WHERE len(ts) < 3), "
+        "base AS (SELECT doc_id, "
+        "CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS h FROM sh), "
+        f"perm(i, a, b) AS (VALUES {_minhash_perm_values()}), "
+        "sig AS (SELECT doc_id, i, min(CAST((CAST(h AS HUGEINT) * a + b) "
+        "% 18446744073709551616 AS UBIGINT)) AS v "
+        "FROM base CROSS JOIN perm GROUP BY doc_id, i), "
+        "eq AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+        "count(*) FILTER (WHERE x.v = y.v) AS neq "
+        "FROM sig x JOIN sig y ON x.i = y.i AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2)"
+    )
+
+
+def _quality_q_cte() -> str:
+    """CTE chain computing ``q(doc_id, keep)`` — the ops._quality_counts
+    keep flag (shared RE2 char classes, integer arithmetic only)."""
+    stops = _stop_list()
+    return (
+        "qc AS (SELECT doc_id, "
+        "CAST(length(COALESCE(text,'')) AS BIGINT) AS n_chars, "
+        "CAST(length(regexp_replace(COALESCE(text,''), '[^A-Za-z]', '', 'g')) "
+        "AS BIGINT) AS n_alpha, "
+        "CAST(length(COALESCE(text,'')) - length(regexp_replace("
+        "COALESCE(text,''), '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct "
+        "FROM documents), "
+        "qt AS (SELECT doc_id, count(*) AS n_tokens, "
+        f"CAST(sum(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_stop FROM ({_TOKS}) GROUP BY doc_id), "
+        "q AS (SELECT c.doc_id, "
+        "(COALESCE(t.n_tokens, 0) BETWEEN 10 AND 100000 "
+        "AND c.n_alpha >= 3 * COALESCE(t.n_tokens, 0) "
+        "AND c.n_alpha <= 12 * COALESCE(t.n_tokens, 0) "
+        "AND COALESCE(t.n_stop, 0) >= 2 "
+        "AND 5 * c.n_punct <= c.n_chars) AS keep "
+        "FROM qc c LEFT JOIN qt t ON c.doc_id = t.doc_id)"
     )
 
 
@@ -551,34 +608,34 @@ def oracle_sql() -> dict[str, str]:
             "WHERE inter * 100 >= 50 * (sa.m + sb.m - inter)"
         ),
         "minhash_dedup": (
-            # exact replay of ops.minhash_dedup: same tokenizer → distinct
-            # 3-gram shingles ({''} for <3-token docs) → md5-64 base hash →
-            # 64 affine permutations (mod 2^64, HUGEINT-safe 63-bit
-            # constants) → per-perm min = signature → all-pairs equal-perm
-            # count ≥ minhash_min_equal.  No banding needed: ≥52 equal of
-            # 64 perms leaves ≤12 unequal perms over 16 bands, so ≥4 bands
-            # collide — LSH recall for verified pairs is exactly 1
-            # (pigeonhole), making the banded Ray pipeline == all-pairs.
-            "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array("
-            "lower(COALESCE(text,'')), '[^a-z0-9]+'), x -> x <> '') AS ts "
-            "FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id, ts[CAST(i AS INT)] || ' ' || "
-            "ts[CAST(i AS INT)+1] || ' ' || ts[CAST(i AS INT)+2] AS s "
-            "FROM toks, UNNEST(generate_series(1, len(ts) - 2)) u(i) "
-            "WHERE len(ts) >= 3 "
-            "UNION SELECT doc_id, '' AS s FROM toks WHERE len(ts) < 3), "
-            "base AS (SELECT doc_id, "
-            "CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS h FROM sh), "
-            f"perm(i, a, b) AS (VALUES {_minhash_perm_values()}), "
-            "sig AS (SELECT doc_id, i, min(CAST((CAST(h AS HUGEINT) * a + b) "
-            "% 18446744073709551616 AS UBIGINT)) AS v "
-            "FROM base CROSS JOIN perm GROUP BY doc_id, i), "
-            "eq AS (SELECT x.doc_id AS a, y.doc_id AS b, "
-            "count(*) FILTER (WHERE x.v = y.v) AS neq "
-            "FROM sig x JOIN sig y ON x.i = y.i AND x.doc_id < y.doc_id "
-            "GROUP BY 1, 2) "
+            # exact replay of ops.minhash_dedup (see _minhash_cte)
+            f"WITH {_minhash_cte('documents')} "
             "SELECT b AS doc_id, CAST(min(a) AS BIGINT) AS kept_by FROM eq "
             f"WHERE neq >= {minhash_min_equal(0.8)} GROUP BY b"
+        ),
+        "clean_corpus": (
+            # replay of ops.clean_corpus: quality gate → exact dedup among
+            # keep-docs → minhash prune among exact survivors; one status
+            # row per input doc, stages applied in priority order
+            f"WITH {_quality_q_cte()}, "
+            "keepers AS (SELECT d.doc_id, COALESCE(d.text,'') AS text "
+            "FROM documents d JOIN q ON d.doc_id = q.doc_id WHERE q.keep), "
+            "w AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS wi "
+            "FROM keepers), "
+            "exact_dup AS (SELECT doc_id FROM w WHERE doc_id <> wi), "
+            "surv AS (SELECT k.doc_id, k.text FROM keepers k "
+            "JOIN w ON k.doc_id = w.doc_id WHERE w.doc_id = w.wi), "
+            f"{_minhash_cte('surv')}, "
+            "nd AS (SELECT b AS doc_id FROM eq "
+            f"WHERE neq >= {minhash_min_equal(0.8)} GROUP BY b) "
+            "SELECT d.doc_id, CASE WHEN NOT q.keep THEN 'low_quality' "
+            "WHEN e.doc_id IS NOT NULL THEN 'exact_dup' "
+            "WHEN n.doc_id IS NOT NULL THEN 'near_dup' "
+            "ELSE 'kept' END AS status "
+            "FROM documents d "
+            "LEFT JOIN q ON d.doc_id = q.doc_id "
+            "LEFT JOIN exact_dup e ON d.doc_id = e.doc_id "
+            "LEFT JOIN nd n ON d.doc_id = n.doc_id"
         ),
         "embedding_neardup": (
             # exact all-pairs oracle over the SAME planted input the Ray

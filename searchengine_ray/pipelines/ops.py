@@ -276,6 +276,35 @@ _QS_DIGIT_RE = "[0-9]"
 _QS_PUNCT_RE = "[[:punct:]]"
 
 
+def _quality_counts(batch: pa.Table):
+    """Vectorized per-row quality counts + the integer-arithmetic keep
+    flag — shared by :func:`quality_score` and :func:`clean_corpus` so the
+    gate is identical (and identically SQL-checked) in both."""
+    text = pc.fill_null(_acol(batch, "text"), "")
+
+    def _count(pat: str) -> np.ndarray:
+        return (
+            pc.count_substring_regex(text, pat)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = _count(_QS_ALPHA_RE)
+    n_digit = _count(_QS_DIGIT_RE)
+    n_punct = _count(_QS_PUNCT_RE)
+    n_tok, _, n_stop = _doc_token_counts(batch)
+    keep = (
+        (n_tok >= 10)
+        & (n_tok <= 100_000)
+        & (n_alpha >= 3 * n_tok)
+        & (n_alpha <= 12 * n_tok)
+        & (n_stop >= 2)
+        & (5 * n_punct <= n_chars)
+    )
+    return n_chars, n_alpha, n_digit, n_punct, n_tok, n_stop, keep
+
+
 def quality_score(sf_dir: str) -> ray.data.Dataset:
     """Gopher-style document quality gate (Rae et al. 2021, §A1.1 shape):
     per-doc character/token composition counts plus an integer-arithmetic
@@ -286,29 +315,8 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
     the shared :func:`_doc_token_counts` bincounts, no Python row loop."""
 
     def qs(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(_acol(batch, "text"), "")
-
-        def _count(pat: str) -> np.ndarray:
-            return (
-                pc.count_substring_regex(text, pat)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-
-        n_chars = (
-            pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        n_alpha = _count(_QS_ALPHA_RE)
-        n_digit = _count(_QS_DIGIT_RE)
-        n_punct = _count(_QS_PUNCT_RE)
-        n_tok, _, n_stop = _doc_token_counts(batch)
-        keep = (
-            (n_tok >= 10)
-            & (n_tok <= 100_000)
-            & (n_alpha >= 3 * n_tok)
-            & (n_alpha <= 12 * n_tok)
-            & (n_stop >= 2)
-            & (5 * n_punct <= n_chars)
+        n_chars, n_alpha, n_digit, n_punct, n_tok, n_stop, keep = _quality_counts(
+            batch
         )
         return pa.table(
             {
@@ -739,6 +747,15 @@ def minhash_min_equal(threshold: float, perms: int = _MINHASH_PERMS) -> int:
 def minhash_dedup(
     sf_dir: str, bands: int = 16, threshold: float = 0.8
 ) -> ray.data.Dataset:
+    """MinHash+LSH near-dup over the documents table (see
+    :func:`minhash_prune` for the algorithm and the SQL-exactness
+    argument)."""
+    return minhash_prune(_docs_text(sf_dir), bands, threshold)
+
+
+def minhash_prune(
+    docs: ray.data.Dataset, bands: int = 16, threshold: float = 0.8
+) -> ray.data.Dataset:
     """MinHash+LSH near-dup: shingle → 64-perm minhash → 16 bands × 4 rows
     → band groupby proposes candidate pairs → signatures joined back by
     doc_id → estimate sim (equal-perm count ≥ ``minhash_min_equal``) →
@@ -797,7 +814,7 @@ def minhash_dedup(
         )
 
     sig_ds = (
-        _docs_text(sf_dir).map_batches(sig_rows, batch_format="pyarrow").materialize()
+        docs.map_batches(sig_rows, batch_format="pyarrow").materialize()
     )
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -841,6 +858,114 @@ def minhash_dedup(
         return (x == y).sum(axis=1) >= min_eq
 
     return _verified_prune(cand, sig_ds, close, "doc_id")
+
+
+def clean_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Flagship training-data cleaning pipeline, composed from the
+    individually oracle-checked stages and itself SQL-checked end to end:
+
+    1. quality gate — the :func:`quality_score` keep flag;
+    2. exact dedup among keep-docs — min doc_id per distinct text wins
+       (16 B md5 shuffle key, text never rides the groupby);
+    3. MinHash near-dup prune among exact survivors
+       (:func:`minhash_prune`, banded LSH + verify).
+
+    Returns one row per input document: (doc_id, status) with status in
+    {'kept', 'low_quality', 'exact_dup', 'near_dup'} — the stages are
+    applied in that priority order, each over the previous stage's
+    survivors, mirroring a production cleaning cascade.  Every boundary is
+    integer/byte-exact, so the DuckDB oracle replays the cascade verbatim.
+    """
+    import hashlib
+
+    def gate(batch: pa.Table) -> pa.Table:
+        """Fused single pass: quality keep flag + exact-dedup shuffle key."""
+        *_, keep = _quality_counts(batch)
+        hs = [
+            hashlib.md5((t or "").encode()).digest()
+            for t in _acol(batch, "text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(_acol(batch, "doc_id"), pa.int64()),
+                "keep": pa.array(keep),
+                "h": pa.array(hs, pa.binary()),
+            }
+        )
+
+    docs = _docs_text(sf_dir)
+    base = docs.map_batches(gate, batch_format="pyarrow").materialize()
+
+    def status_rows(t: pa.Table, status: str, col: str = "doc_id") -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t[col], pa.int64()),
+                "status": pa.array([status] * t.num_rows, pa.string()),
+            }
+        )
+
+    def _where(t: pa.Table, col: str, want: bool) -> pa.Table:
+        m = t[col] if want else pc.invert(t[col])
+        return t.filter(m)
+
+    lowq = base.map_batches(
+        lambda t: status_rows(_where(t, "keep", False), "low_quality"),
+        batch_format="pyarrow",
+    )
+
+    def mark_winner(group: pa.Table) -> pa.Table:
+        ids = _acol(group, "doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_winner": pa.array(ids == ids.min()),
+            }
+        )
+
+    marks = (
+        base.map_batches(
+            lambda t: _where(t, "keep", True).select(["h", "doc_id"]),
+            batch_format="pyarrow",
+        )
+        .groupby("h")
+        .map_groups(mark_winner, batch_format="pyarrow")
+        .materialize()
+    )
+    exact_dup = marks.map_batches(
+        lambda t: status_rows(_where(t, "is_winner", False), "exact_dup"),
+        batch_format="pyarrow",
+    )
+
+    nparts = _join_parts()
+    surv_docs = docs.join(
+        marks.map_batches(
+            lambda t: _where(t, "is_winner", True).select(["doc_id"]),
+            batch_format="pyarrow",
+        ),
+        join_type="left_semi",
+        num_partitions=nparts,
+        on=("doc_id",),
+    )
+    near_dup = minhash_prune(surv_docs).map_batches(
+        lambda t: status_rows(t, "near_dup"), batch_format="pyarrow"
+    )
+
+    statuses = lowq.union(exact_dup, near_dup)
+    out = docs.select_columns(["doc_id"]).join(
+        statuses,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("doc_id",),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "status": pc.fill_null(t["status"], "kept"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def simhash_dedup(sf_dir: str) -> ray.data.Dataset:

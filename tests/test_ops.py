@@ -71,6 +71,7 @@ SQL_CHECKED = [
     "ngram_jaccard",
     "fingerprint",
     "minhash_dedup",
+    "clean_corpus",
 ]
 
 
