@@ -117,24 +117,47 @@ def simhash_prune_window(extracted: ray.data.Dataset) -> set[int]:
     )
 
 
+def _ball_masks(bits: int, radius: int) -> np.ndarray:
+    """All non-zero XOR masks of popcount ≤ radius (the Hamming ball shell
+    enumeration: C(32,1)+C(32,2)+C(32,3) = 5,488 masks at 32/3)."""
+    from itertools import combinations
+
+    ms = []
+    for r in range(1, radius + 1):
+        for comb in combinations(range(bits), r):
+            m = 0
+            for b in comb:
+                m |= 1 << b
+            ms.append(m)
+    return np.array(ms, dtype=np.uint64)
+
+
 def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
     """Scale-mode D3: exact global near-dup pruning by Hamming-ball
     enumeration over DISTINCT simhash values.
 
-    A banded-LSH verify degenerates when band buckets are huge (any skewed
-    8-bit band ⇒ O(bucket²)).  Instead: (1) ``groupby(simhash).min(docid)``
-    collapses the corpus to V distinct 32-bit values; (2) for each value,
-    the smallest docid within its Hamming≤3 neighbourhood is found by the
-    half-split pigeonhole probe — ham(u,v) ≤ 3 forces one 16-bit half
-    within ham ≤ 1, so 2×17 sorted range probes + a vectorized full-width
-    popcount verify cover every neighbour (distributed over value chunks);
-    (3) one streaming pass prunes every doc whose docid exceeds its
-    value's threshold.
+    Candidate-generation schemes (banded LSH, half-split pigeonhole
+    probes) degenerate on clustered fingerprints: skewed 8/16-bit keys
+    put thousands of candidates in one bucket and the popcount verify
+    becomes the wall (measured 3.5e9 candidate verifies = 121 s on the
+    ×192-replica bench corpus).  Ball enumeration has no verify at all:
+
+    1. map-side combine → (distinct simhash, min docid) table, merged and
+       uniqued on the driver (V rows);
+    2. a 2^32-bit direct-addressed bitmap of present values (512 MB,
+       ``ray.put`` once — workers map it zero-copy from the object store)
+       plus the sorted (value, min-docid) table are broadcast;
+    3. each worker takes a chunk of values and, for each of the 5,488
+       XOR masks of popcount ≤ 3, tests ``u ^ m`` against the bitmap —
+       every hit IS an exact Hamming≤3 neighbour (no popcount verify);
+       its min docid is fetched by binary search only for hits;
+    4. one streaming pass prunes every doc whose docid exceeds its
+       value's threshold.
 
     Exact (asserted vs an all-pairs oracle in tests), order-free,
-    O(V·34·(log V + bucket)) total.  Caveat: the distinct-value table
-    merges on the driver — bounded by V ≤ 2^32 (~48 GB at saturation),
-    fine to ~10^8 docs.  Beyond that use
+    O(V·5488) bitmap gathers total — independent of cluster skew.
+    Caveat: the distinct-value table merges on the driver — bounded by
+    V ≤ 2^32, fine to ~10^8 docs.  Beyond that use
     :func:`simhash_prune_lsh_distributed` (same semantics, O(1) driver,
     32- or 64-bit), which ``BuildConfig.simhash_bits=64`` selects
     automatically; at ≳10^9 docs the 32-bit value space itself saturates
@@ -170,63 +193,47 @@ def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
     morder = np.argsort(mins_all, kind="stable")
     sorted_vals, first = np.unique(vals_all[morder], return_index=True)
     sorted_mins = mins_all[morder][first]
-    # two probe tables keyed by the 16-bit halves: ham(u,v) ≤ 3 ⇒ one half
-    # is within ham ≤ 1 (pigeonhole), so 2×17 range probes + a vectorized
-    # full-width verify replace the 5,488-mask Hamming-ball enumeration
-    h1 = (sorted_vals >> np.uint32(16)).astype(np.uint32)
-    h2 = (sorted_vals & np.uint32(0xFFFF)).astype(np.uint32)
-    o1 = np.argsort(h1, kind="stable")
-    o2 = np.argsort(h2, kind="stable")
-    tables = (
-        (h1[o1], sorted_vals[o1], sorted_mins[o1]),
-        (h2[o2], sorted_vals[o2], sorted_mins[o2]),
-    )
-    ref = _ray.put(tables)
-    half_masks = np.concatenate(
-        [[np.uint32(0)], (np.uint32(1) << np.arange(16, dtype=np.uint32))]
-    )
 
+    bitmap = np.zeros(1 << 29, dtype=np.uint8)
+    np.bitwise_or.at(
+        bitmap,
+        sorted_vals >> np.uint32(3),
+        np.left_shift(np.uint8(1), (sorted_vals & np.uint32(7)).astype(np.uint8)),
+    )
+    bm_ref = _ray.put(bitmap)
+    tab_ref = _ray.put((sorted_vals, sorted_mins))
+    del bitmap
+    masks = _ball_masks(32, params.SIMHASH_HAMMING_MAX).astype(np.uint32)
+
+    ncpu = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    chunks = np.array_split(np.arange(sorted_vals.size), ncpu * 4)
     values_ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "value": sorted_vals.astype(np.int64),
-                "mind": sorted_mins,
-            }
-        )
-    ).repartition(max(2, int(_ray.cluster_resources().get("CPU", 8))))
+        [
+            pa.table(
+                {
+                    "value": sorted_vals[c].astype(np.int64),
+                    "mind": sorted_mins[c],
+                }
+            )
+            for c in chunks
+            if c.size
+        ]
+    )
 
     def thresholds(batch: pa.Table) -> pa.Table:
-        tbls = _ray.get(ref)
-        u_all = batch["value"].to_numpy().astype(np.uint32)
-        thr_all = batch["mind"].to_numpy().astype(np.int64).copy()
-        CH = 8192
-        for s in range(0, u_all.size, CH):
-            u = u_all[s : s + CH]
-            thr = thr_all[s : s + CH]
-            for half_shift, (hkeys, hvals, hmins) in zip((16, 0), tbls):
-                uh = ((u >> np.uint32(half_shift)) & np.uint32(0xFFFF)).astype(
-                    np.uint32
-                )
-                for m in half_masks:
-                    probe = uh ^ m
-                    lo = np.searchsorted(hkeys, probe, side="left")
-                    hi = np.searchsorted(hkeys, probe, side="right")
-                    counts = hi - lo
-                    total = int(counts.sum())
-                    if total == 0:
-                        continue
-                    owner = np.repeat(np.arange(u.size), counts)
-                    # candidate indices: ranges [lo, hi) expanded
-                    idx = np.repeat(lo, counts) + (
-                        np.arange(total)
-                        - np.repeat(np.cumsum(counts) - counts, counts)
-                    )
-                    ham = hashing.popcount32_mat(hvals[idx] ^ u[owner])
-                    ok = ham <= params.SIMHASH_HAMMING_MAX
-                    np.minimum.at(thr, owner[ok], hmins[idx[ok]])
-        return pa.table(
-            {"value": batch["value"], "thr": pa.array(thr_all, pa.int64())}
-        )
+        bm = _ray.get(bm_ref)
+        sv, sm = _ray.get(tab_ref)
+        u = batch["value"].to_numpy().astype(np.uint32)
+        thr = batch["mind"].to_numpy().astype(np.int64).copy()
+        for m in masks:
+            p = u ^ m
+            hit = (bm[p >> np.uint32(3)] >> (p & np.uint32(7)).astype(np.uint8)) & 1
+            hi = np.nonzero(hit)[0]
+            if hi.size == 0:
+                continue
+            pos = np.searchsorted(sv, p[hi])
+            thr[hi] = np.minimum(thr[hi], sm[pos])
+        return pa.table({"value": batch["value"], "thr": pa.array(thr, pa.int64())})
 
     thr_t = pa.concat_tables(
         _ray.get(
