@@ -637,6 +637,32 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN exact_dup e ON d.doc_id = e.doc_id "
             "LEFT JOIN nd n ON d.doc_id = n.doc_id"
         ),
+        "simhash_dedup": (
+            # bit-exact replay of ops.simhash_dedup: md5-low32 word hash
+            # (hash family chosen BECAUSE DuckDB can compute it), signed
+            # per-bit count sums (> 0 sets the bit), then the exact global
+            # Hamming-ball prune: pruned iff ANY lower doc_id is within
+            # Hamming <= 3 (equality with the banded Ray path is pinned in
+            # test_scale_paths; here it is replayed as all-pairs EXISTS)
+            "WITH tok AS (SELECT doc_id, term, count(*) AS cnt "
+            f"FROM ({_TOKS}) GROUP BY doc_id, term), "
+            "wh AS (SELECT doc_id, cnt, "
+            "CAST(concat('0x', substr(md5(term), 1, 8)) AS UINTEGER) AS h "
+            "FROM tok), "
+            "bitv AS (SELECT doc_id, i, "
+            "sum(CASE WHEN (h >> CAST(i AS INT)) & 1 = 1 THEN cnt ELSE -cnt "
+            "END) AS v FROM wh, UNNEST(generate_series(0, 31)) u(i) "
+            "GROUP BY doc_id, i), "
+            "sims0 AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN "
+            "(CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) "
+            "AS simhash FROM bitv GROUP BY doc_id), "
+            "sims AS (SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash "
+            "FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id) "
+            "SELECT s.doc_id, s.simhash, "
+            "EXISTS(SELECT 1 FROM sims t WHERE t.doc_id < s.doc_id AND "
+            "bit_count(xor(t.simhash, s.simhash)) <= 3) AS pruned "
+            "FROM sims s"
+        ),
         "embedding_neardup": (
             # exact all-pairs oracle over the SAME planted input the Ray
             # pipeline builds (ops.embedding_neardup plant_mod=5): every

@@ -92,6 +92,24 @@ def hash64_str_b2(s: str) -> int:
     )
 
 
+def url_ts_keys(
+    urls: list[str], ts_us: np.ndarray, family: int = 1
+) -> np.ndarray:
+    """64-bit (url, warc_ts) join keys.  ``family=1`` is the fast CRC32-pair
+    probe key (:func:`hash64_str`); ``family=2`` is the STRUCTURALLY
+    independent verification key (:func:`hash64_str_b2`, blake2b) — CRC is
+    affine, so a salted CRC of the same bytes collides together with the
+    primary and cannot serve as a collision guard (ADVICE r2, high)."""
+    if family == 1:
+        h = hash64_arr(urls)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+    else:
+        h = hash64_arr_b2(urls)
+        mult = np.uint64(0xC2B2AE3D27D4EB4F)
+    with np.errstate(over="ignore"):
+        return h ^ (ts_us.astype(np.uint64) * mult)
+
+
 def hash64_arr_b2(strs) -> np.ndarray:
     """hash64_str_b2 over a sequence → uint64 array."""
     b2 = hashlib.blake2b
@@ -103,6 +121,29 @@ def hash64_arr_b2(strs) -> np.ndarray:
         dtype=np.uint64,
         count=len(strs),
     )
+
+
+class Md5WordHashCache:
+    """Memoized md5-based word hashes — the SQL-replayable hash family.
+
+    ``hash32`` is the big-endian first 4 digest bytes; DuckDB computes the
+    identical value as ``CAST(concat('0x', substr(md5(term),1,8)) AS
+    UINTEGER)`` (and the first 8 bytes for ``hash64``), which lets an
+    external oracle replay simhash fingerprints bit-exactly.  The index
+    build keeps the reference's CRC64 family (:class:`WordHashCache`)."""
+
+    def __init__(self) -> None:
+        self._cache: dict[str, int] = {}
+
+    def hash32(self, word: str) -> int:
+        h = self._cache.get(word)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "big")
+            self._cache[word] = h
+        return h
+
+    def hash64(self, word: str) -> int:
+        return int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
 
 
 class WordHashCache:

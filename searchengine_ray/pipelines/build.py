@@ -53,22 +53,9 @@ import numpy as np
 from searchengine_ray.functions import hashing as _hashing
 
 
-def _url_ts_keys(
-    urls: list[str], ts_us: np.ndarray, family: int = 1
-) -> np.ndarray:
-    """64-bit (url, warc_ts) join keys.  ``family=1`` is the fast CRC32-pair
-    probe key (hashing.hash64_str); ``family=2`` is the STRUCTURALLY
-    independent verification key (hashing.hash64_str_b2, blake2b) — CRC is
-    affine, so a salted CRC of the same bytes collides together with the
-    primary and cannot serve as a collision guard (ADVICE r2, high)."""
-    if family == 1:
-        h = _hashing.hash64_arr(urls)
-        mult = np.uint64(0x9E3779B97F4A7C15)
-    else:
-        h = _hashing.hash64_arr_b2(urls)
-        mult = np.uint64(0xC2B2AE3D27D4EB4F)
-    with np.errstate(over="ignore"):
-        return h ^ (ts_us.astype(np.uint64) * mult)
+# the key families are computed distributed in the page_keys scan
+# (extract.py); this alias keeps the probe-side call sites and tests
+_url_ts_keys = _hashing.url_ts_keys
 
 
 def _lookup_verified(
@@ -237,11 +224,11 @@ def build_index(
             # broadcast is re-unpickled by every task — measured
             # anti-scaling with CPUs): sorted 64-bit (url, warc_ts) keys +
             # an independent second key family for 128-bit collision-proof
-            # verification + aligned docids; defrag_url recomputed in-task
-            sv_urls = sv["url"].to_pylist()
-            sv_ts = sv["warc_ts"].combine_chunks().cast(pa.int64()).to_numpy()
-            sv_keys = _url_ts_keys(sv_urls, sv_ts)
-            sv_keys2 = _url_ts_keys(sv_urls, sv_ts, family=2)
+            # verification + aligned docids.  Both families were computed
+            # in the distributed page_keys scan (k1/k2 columns) — the
+            # driver only slices them here
+            sv_keys = sv["k1"].combine_chunks().to_numpy()
+            sv_keys2 = sv["k2"].combine_chunks().to_numpy()
             order2 = np.argsort(sv_keys)
             lut_ref = ray.put(
                 (

@@ -970,22 +970,29 @@ def clean_corpus(sf_dir: str) -> ray.data.Dataset:
 
 def simhash_dedup(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup over documents (the reference's D3 in LSH form,
-    applied to the documents table): doc_id → 32-bit simhash → banded
-    prune.  Returns (doc_id, simhash, pruned)."""
+    applied to the documents table): doc_id → 32-bit simhash → exact
+    Hamming-ball prune.  Returns (doc_id, simhash, pruned).
+
+    The word hash here is the md5-low32 family
+    (:class:`hashing.Md5WordHashCache`) rather than the index build's
+    reference-parity CRC64 — md5 is computable in DuckDB, so this entry's
+    fingerprints AND the Hamming≤3 prune flag are replayed bit-exactly by
+    an all-pairs SQL oracle (``oracle_sql()["simhash_dedup"]``)."""
     from searchengine_ray.stages import dedup as dedup_stage
 
     def sims(batch: pa.Table) -> pa.Table:
-        ids, hs = [], []
+        cache = hashing.Md5WordHashCache()
+        ids, wcs = [], []
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            wc = tokenizer.word_count(tokenizer.simple_tokens(text or ""))
             ids.append(doc_id)
-            hs.append(hashing.simhash(wc))
+            wcs.append(tokenizer.word_count(tokenizer.simple_tokens(text or "")))
+        hs = hashing.simhash_batch(wcs, hash_cache=cache)
         return pa.table(
             {
                 "docid": pa.array(ids, pa.int64()),
-                "simhash": pa.array(hs, pa.int64()),
+                "simhash": pa.array(hs.astype(np.int64), pa.int64()),
             }
         )
 

@@ -69,6 +69,16 @@ def page_keys(batch: pa.Table) -> pa.Table:
         defrags.append(htmlx.defrag(u))
         empties.append(not content)
         hashes.append(hashing.exact_hash(content) if content else b"")
+    # both 64-bit (url, warc_ts) key families are computed HERE, in the
+    # distributed key scan, so the driver-side D1/D2 path never hashes
+    # strings serially (measured 11 s flat at 960k rows)
+    ts = (
+        batch["warc_ts"].combine_chunks()
+        if isinstance(batch["warc_ts"], pa.ChunkedArray)
+        else batch["warc_ts"]
+    ).cast(pa.int64()).to_numpy()
+    k1 = hashing.url_ts_keys(urls, ts)
+    k2 = hashing.url_ts_keys(urls, ts, family=2)
     return pa.table(
         {
             "url": batch["url"],
@@ -76,6 +86,8 @@ def page_keys(batch: pa.Table) -> pa.Table:
             "defrag_url": pa.array(defrags, pa.string()),
             "empty": pa.array(empties, pa.bool_()),
             "exact_hash": pa.array(hashes, pa.binary()),
+            "k1": pa.array(k1, pa.uint64()),
+            "k2": pa.array(k2, pa.uint64()),
         }
     )
 

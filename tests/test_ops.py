@@ -72,6 +72,7 @@ SQL_CHECKED = [
     "fingerprint",
     "minhash_dedup",
     "clean_corpus",
+    "simhash_dedup",
 ]
 
 
