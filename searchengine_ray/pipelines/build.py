@@ -355,41 +355,63 @@ def build_index(
         near_dup_mode = (
             "window" if num_surv <= dedup.AUTO_WINDOW_THRESHOLD else "lsh"
         )
+    survivors_ex = None
     if near_dup_mode == "window":
         pruned_arr = np.sort(
             np.fromiter(dedup.simhash_prune_window(extracted), dtype=np.int64)
         )
-    elif near_dup_mode == "lsh":
-        if cfg.simhash_bits == 32:
-            # driver distinct-merge path: fastest at ≤2^32 distinct values
-            pruned_ds = dedup.simhash_prune_lsh(extracted)
+    elif near_dup_mode == "lsh" and cfg.simhash_bits == 32:
+        # driver distinct-merge path (fastest at ≤2^32 distinct values):
+        # the threshold table prunes extracted in the SAME pass that
+        # materializes the survivors — no separate pruned-docid execution
+        thr_tab = dedup.lsh_threshold_arrays(extracted)
+        if thr_tab is None:
+            pruned_arr = np.empty(0, dtype=np.int64)
         else:
-            # O(1)-driver shuffle path (also the ≥10^9-doc path)
-            pruned_ds = dedup.simhash_prune_lsh_distributed(
-                extracted, bits=cfg.simhash_bits
-            )
+            thr_ref = ray.put(thr_tab)
+
+            def keep_below_thr(batch: pa.Table) -> pa.Table:
+                sv_t, thr_t = ray.get(thr_ref)  # zero-copy numpy
+                sims = batch["simhash"].to_numpy().astype(np.uint32)
+                docids = batch["docid"].to_numpy()
+                pos = np.minimum(np.searchsorted(sv_t, sims), sv_t.size - 1)
+                return batch.filter(pa.array(docids <= thr_t[pos]))
+
+            survivors_ex = extracted.map_batches(
+                keep_below_thr, batch_format="pyarrow"
+            ).materialize()
+            pruned_neardup = num_surv - survivors_ex.count()
+    elif near_dup_mode == "lsh":
+        # O(1)-driver shuffle path (also the ≥10^9-doc path)
+        pruned_ds = dedup.simhash_prune_lsh_distributed(
+            extracted, bits=cfg.simhash_bits
+        )
         pt = pa.concat_tables(ray.get(pruned_ds.materialize().to_arrow_refs()))
         pruned_arr = np.sort(pt["docid"].to_numpy())
     else:
         pruned_arr = np.empty(0, dtype=np.int64)
-    pruned_neardup = int(pruned_arr.size)
-    if pruned_arr.size:
-        pruned_ref = ray.put(pruned_arr)
+    if survivors_ex is None:
+        pruned_neardup = int(pruned_arr.size)
+        if pruned_arr.size:
+            pruned_ref = ray.put(pruned_arr)
 
-        def drop_pruned(batch: pa.Table) -> pa.Table:
-            arr = ray.get(pruned_ref)  # zero-copy numpy
-            docids = batch["docid"].to_numpy()
-            pos = np.searchsorted(arr, docids)
-            pos_c = np.minimum(pos, arr.size - 1)
-            mask = arr[pos_c] != docids
-            return batch.filter(pa.array(mask))
+            def drop_pruned(batch: pa.Table) -> pa.Table:
+                arr = ray.get(pruned_ref)  # zero-copy numpy
+                docids = batch["docid"].to_numpy()
+                pos = np.searchsorted(arr, docids)
+                pos_c = np.minimum(pos, arr.size - 1)
+                mask = arr[pos_c] != docids
+                return batch.filter(pa.array(mask))
 
-        survivors_ex = extracted.map_batches(drop_pruned, batch_format="pyarrow")
-    else:
-        survivors_ex = extracted
-    # four consumers follow (docs, texts, edges, postings): pin the blocks in
-    # the object store once instead of re-reading the checkpoint per consumer
-    survivors_ex = survivors_ex.materialize()
+            survivors_ex = extracted.map_batches(
+                drop_pruned, batch_format="pyarrow"
+            )
+        else:
+            survivors_ex = extracted
+        # four consumers follow (docs, texts, edges, postings): pin the
+        # blocks in the object store once instead of re-reading the
+        # checkpoint per consumer
+        survivors_ex = survivors_ex.materialize()
     wall["neardup"] = time.perf_counter() - t0
 
     # ---- 7a: docs + texts ----------------------------------------------
@@ -506,11 +528,12 @@ def build_index(
         flat = survivors_ex.map_batches(explode_postings, batch_format="pyarrow")
         hot: set[str] = set()
         if cfg.hot_term_df_threshold and num_docs > cfg.hot_term_df_threshold:
-            # flat is a cheap map over the materialized survivors — let the
-            # sampler and the shuffle each re-run it rather than pinning
-            # ~docs×terms rows in the object store
+            # one vectorized value_counts pass over the materialized
+            # survivors — no explode, no sample, no groupby shuffle
             t1 = time.perf_counter()
-            hot = postings_mod.estimate_hot_terms(flat, cfg.hot_term_df_threshold)
+            hot = postings_mod.estimate_hot_terms_blockwise(
+                survivors_ex, cfg.hot_term_df_threshold, num_docs
+            )
             wall["segments_hot_estimate"] = time.perf_counter() - t1
         segments = postings_mod.build_segments(
             flat,

@@ -132,9 +132,32 @@ def _ball_masks(bits: int, radius: int) -> np.ndarray:
     return np.array(ms, dtype=np.uint64)
 
 
-def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
-    """Scale-mode D3: exact global near-dup pruning by Hamming-ball
-    enumeration over DISTINCT simhash values.
+@ray.remote
+def _ball_thr_task(bm, tab, masks, lo, hi):
+    """Threshold chunk [lo, hi) of the sorted distinct-value table: for
+    each of the 5,488 Hamming≤3 XOR masks, probe the 2^32-bit bitmap —
+    every hit is an exact neighbour whose min docid lowers the threshold.
+    All args arrive as object-store refs (bitmap/table zero-copy)."""
+    sv, sm = tab
+    u = sv[lo:hi]
+    thr = sm[lo:hi].astype(np.int64).copy()
+    for m in masks:
+        p = u ^ m
+        hit = (bm[p >> np.uint32(3)] >> (p & np.uint32(7)).astype(np.uint8)) & 1
+        idx = np.nonzero(hit)[0]
+        if idx.size == 0:
+            continue
+        pos = np.searchsorted(sv, p[idx])
+        thr[idx] = np.minimum(thr[idx], sm[pos])
+    return thr
+
+
+def lsh_threshold_arrays(
+    extracted: ray.data.Dataset,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(sorted distinct simhash values, per-value min-docid-within-ball≤3
+    thresholds) for the 32-bit driver-merged D3 path, or ``None`` on an
+    empty input.
 
     Candidate-generation schemes (banded LSH, half-split pigeonhole
     probes) degenerate on clustered fingerprints: skewed 8/16-bit keys
@@ -147,12 +170,11 @@ def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
     2. a 2^32-bit direct-addressed bitmap of present values (512 MB,
        ``ray.put`` once — workers map it zero-copy from the object store)
        plus the sorted (value, min-docid) table are broadcast;
-    3. each worker takes a chunk of values and, for each of the 5,488
-       XOR masks of popcount ≤ 3, tests ``u ^ m`` against the bitmap —
-       every hit IS an exact Hamming≤3 neighbour (no popcount verify);
-       its min docid is fetched by binary search only for hits;
-    4. one streaming pass prunes every doc whose docid exceeds its
-       value's threshold.
+    3. raw Ray tasks (a Dataset stage would pay ~2 fixed executions for a
+       7 MB result) chunk the value range; each probes all 5,488 masks of
+       popcount ≤ 3 against the bitmap — every hit IS an exact Hamming≤3
+       neighbour (no popcount verify), min docid fetched by binary search
+       only for hits.
 
     Exact (asserted vs an all-pairs oracle in tests), order-free,
     O(V·5488) bitmap gathers total — independent of cluster skew.
@@ -187,7 +209,7 @@ def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
     )
     mt = pa.concat_tables(_ray.get(partial.to_arrow_refs()))
     if mt.num_rows == 0:
-        return ray.data.from_arrow(pa.table({"docid": pa.array([], pa.int64())}))
+        return None
     vals_all = mt["simhash"].to_numpy().astype(np.uint32)
     mins_all = mt["mind"].to_numpy()
     morder = np.argsort(mins_all, kind="stable")
@@ -203,49 +225,30 @@ def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
     bm_ref = _ray.put(bitmap)
     tab_ref = _ray.put((sorted_vals, sorted_mins))
     del bitmap
-    masks = _ball_masks(32, params.SIMHASH_HAMMING_MAX).astype(np.uint32)
+    masks_ref = _ray.put(_ball_masks(32, params.SIMHASH_HAMMING_MAX).astype(np.uint32))
 
     ncpu = max(2, int(_ray.cluster_resources().get("CPU", 8)))
-    chunks = np.array_split(np.arange(sorted_vals.size), ncpu * 4)
-    values_ds = ray.data.from_arrow(
-        [
-            pa.table(
-                {
-                    "value": sorted_vals[c].astype(np.int64),
-                    "mind": sorted_mins[c],
-                }
-            )
-            for c in chunks
-            if c.size
-        ]
-    )
+    bounds = np.linspace(0, sorted_vals.size, ncpu * 4 + 1, dtype=np.int64)
+    futures = [
+        _ball_thr_task.remote(bm_ref, tab_ref, masks_ref, int(lo), int(hi))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    thr = np.concatenate(_ray.get(futures)) if futures else np.empty(0, np.int64)
+    return sorted_vals, thr
 
-    def thresholds(batch: pa.Table) -> pa.Table:
-        bm = _ray.get(bm_ref)
-        sv, sm = _ray.get(tab_ref)
-        u = batch["value"].to_numpy().astype(np.uint32)
-        thr = batch["mind"].to_numpy().astype(np.int64).copy()
-        for m in masks:
-            p = u ^ m
-            hit = (bm[p >> np.uint32(3)] >> (p & np.uint32(7)).astype(np.uint8)) & 1
-            hi = np.nonzero(hit)[0]
-            if hi.size == 0:
-                continue
-            pos = np.searchsorted(sv, p[hi])
-            thr[hi] = np.minimum(thr[hi], sm[pos])
-        return pa.table({"value": batch["value"], "thr": pa.array(thr, pa.int64())})
 
-    thr_t = pa.concat_tables(
-        _ray.get(
-            values_ds.map_batches(thresholds, batch_format="pyarrow")
-            .materialize()
-            .to_arrow_refs()
-        )
-    )
-    tvals = thr_t["value"].to_numpy().astype(np.uint32)
-    tthr = thr_t["thr"].to_numpy()
-    torder = np.argsort(tvals)
-    thr_ref = _ray.put((tvals[torder], tthr[torder]))
+def simhash_prune_lsh(extracted: ray.data.Dataset) -> ray.data.Dataset:
+    """Scale-mode D3 as a pruned-docid Dataset (see
+    :func:`lsh_threshold_arrays` for the algorithm): every doc whose docid
+    exceeds its value's min-docid-within-ball≤3 threshold is pruned."""
+    import ray as _ray
+
+    res = lsh_threshold_arrays(extracted)
+    if res is None:
+        return ray.data.from_arrow(pa.table({"docid": pa.array([], pa.int64())}))
+    sorted_vals, thr_arr = res
+    thr_ref = _ray.put((sorted_vals, thr_arr))
 
     def prune(batch: pa.Table) -> pa.Table:
         sv, thr = _ray.get(thr_ref)

@@ -96,6 +96,48 @@ def estimate_hot_terms(
     return {r["term"] for r in hot.take_all()}
 
 
+def estimate_hot_terms_blockwise(
+    survivors: ray.data.Dataset, threshold: int, num_docs: int
+) -> set[str]:
+    """Heavy-hitter df estimate in ONE vectorized pass over the
+    materialized survivor blocks — replaces the explode → random_sample →
+    ``groupby(term)`` execution (a ~docs×terms row expansion plus a
+    shuffle, ~6 s fixed at 960k pages) with per-block ``value_counts`` on
+    the flattened terms column.
+
+    Each block keeps terms whose block df ≥ threshold scaled to the block
+    size over 4 (4× slack against block skew); the driver sums the tiny
+    partials and keeps terms with summed df ≥ threshold/2.  Slightly
+    over-inclusive by design: salting a non-hot term only adds a few
+    merge groups, while missing a hot term costs a skewed shuffle group.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms = batch["terms"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        flat = pc.list_flatten(terms)
+        vc = pc.value_counts(flat)
+        counts = vc.field("counts")
+        floor = max(1, (threshold * batch.num_rows) // (max(num_docs, 1) * 4))
+        mask = pc.greater_equal(counts, floor)
+        return pa.table(
+            {
+                "term": vc.field("values").filter(mask),
+                "n": counts.filter(mask),
+            }
+        )
+
+    agg: dict[str, int] = {}
+    for row in (
+        survivors.select_columns(["terms"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    ):
+        agg[row["term"]] = agg.get(row["term"], 0) + row["n"]
+    return {t for t, n in agg.items() if 2 * n >= threshold}
+
+
 def bm25_tf_bound(tfs: np.ndarray, doc_lens: np.ndarray, avgdl: float) -> np.ndarray:
     """Per-posting BM25 tf-saturation term (idf excluded)."""
     k1, b = params.BM25_K1, params.BM25_B
