@@ -185,7 +185,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def media_features(sf_dir: str):
-        return media.media_features(media.media_from_documents(sf_dir))
+        """Multimodal decode+featurize, flattened to a wide (media_id,
+        media_type, n_bytes, f0..f15) schema so the md5-family fake
+        features are value-hash-comparable against the DuckDB oracle."""
+        import numpy as np
+        import pyarrow as pa
+
+        def widen(batch: pa.Table) -> pa.Table:
+            feat = batch["feature"]
+            if isinstance(feat, pa.ChunkedArray):
+                feat = feat.combine_chunks()
+            mat = np.asarray(feat.flatten()).reshape(-1, media.FEATURE_DIM)
+            cols = {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "n_bytes": batch["n_bytes"],
+            }
+            for i in range(media.FEATURE_DIM):
+                cols[f"f{i}"] = pa.array(mat[:, i], pa.float64())
+            return pa.table(cols)
+
+        return media.media_features(media.media_from_documents(sf_dir)).map_batches(
+            widen, batch_format="pyarrow"
+        )
 
     def media_meta(sf_dir: str):
         """The SQL-expressible slice of the multimodal stage output
@@ -518,6 +540,36 @@ def _quality_q_cte() -> str:
     )
 
 
+def _media_features_sql() -> str:
+    """Bit-exact replay of the md5-family fake decode
+    (``media.DecodeMedia._decode_fake``): 64-bit payload hash from md5 of
+    the utf-8 text (the payload IS the utf-8 text bytes), per-dimension
+    seed mix mod 2^64 (HUGEINT-safe), >>11, low 32 bits, exact /2^32 —
+    one DOUBLE column per dimension, same seed constants as the Ray
+    actors."""
+    from searchengine_ray.stages.media import FEATURE_DIM, DecodeMedia
+
+    seeds = DecodeMedia(fake=True)._seeds
+    gold = 0x9E3779B97F4A7C15
+    m64 = 1 << 64
+    fcols = ", ".join(
+        "CAST((CAST((CAST(h AS HUGEINT) * {s} + {g}) % {m} AS UBIGINT) "
+        ">> 11) % 4294967296 AS DOUBLE) / 4294967296.0 AS f{i}".format(
+            s=int(seeds[i]), g=gold, m=m64, i=i
+        )
+        for i in range(FEATURE_DIM)
+    )
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS media_type, "
+        "CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes, "
+        "CAST(concat('0x', substr(md5(COALESCE(text, '')), 1, 16)) AS UBIGINT) "
+        "AS h FROM documents) "
+        f"SELECT media_id, media_type, n_bytes, {fcols} FROM m"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from searchengine_ray.oracle import simple_sql
     from searchengine_ray.pipelines.ops import minhash_min_equal
@@ -696,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_bytes "
             "FROM documents"
         ),
+        "media_features": _media_features_sql(),
         "fingerprint": (
             "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
             "lower(COALESCE(text,'')), '[^a-z0-9]+'), x -> x <> '') AS ts "

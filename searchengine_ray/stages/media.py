@@ -42,9 +42,13 @@ class DecodeMedia:
 
     def __init__(self, fake: bool = False) -> None:
         self.fake = fake
-        # stand-in for model weights: deterministic projection seeds
+        # stand-in for model weights: deterministic projection seeds,
+        # masked to 63 bits so the SQL replay's h*s stays inside HUGEINT
         self._seeds = np.array(
-            [hashing.crc64(f"media-feat-{i}".encode()) for i in range(FEATURE_DIM)],
+            [
+                hashing.crc64(f"media-feat-{i}".encode()) & 0x7FFFFFFFFFFFFFFF
+                for i in range(FEATURE_DIM)
+            ],
             dtype=np.uint64,
         )
 
@@ -55,9 +59,19 @@ class DecodeMedia:
         )
 
     def _decode_fake(self, payload: bytes) -> np.ndarray:
-        """Deterministic pseudo-features: CRC64 of payload mixed with the
-        per-dimension seeds, scaled to [0, 1)."""
-        h = np.uint64(hashing.crc64(payload or b""))
+        """Deterministic pseudo-features: md5-64 of the payload mixed with
+        the per-dimension seeds, scaled to [0, 1).
+
+        The md5 family (not CRC) is deliberate: DuckDB computes the same
+        64-bit payload hash, the seed mix is mod-2^64 integer arithmetic,
+        and the final value is an exact power-of-two division — so the
+        whole feature vector is bit-exactly SQL-replayable
+        (``oracle_sql()["media_features"]``)."""
+        import hashlib
+
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(payload or b"").digest()[:8], "big")
+        )
         with np.errstate(over="ignore"):
             mixed = (h * self._seeds + np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(11)
         return (mixed % np.uint64(1 << 32)).astype(np.float64) / float(1 << 32)
@@ -72,14 +86,14 @@ class DecodeMedia:
                 if self.fake
                 else self._decode_real(payload, mtype)
             )
-            feats.append(vec.astype(np.float32).tolist())
+            feats.append(vec.tolist())
             nbytes.append(len(payload or b""))
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "media_type": batch["media_type"],
                 "n_bytes": pa.array(nbytes, pa.int64()),
-                "feature": pa.array(feats, pa.list_(pa.float32())),
+                "feature": pa.array(feats, pa.list_(pa.float64())),
             }
         )
 
