@@ -79,23 +79,6 @@ def _term_crc_per_row(col, modulo: int) -> np.ndarray:
     return (uniq % modulo).astype(np.int64)[dic.indices.to_numpy()]
 
 
-def estimate_hot_terms(
-    postings: ray.data.Dataset, threshold: int, sample_fraction: float = 0.02
-) -> set[str]:
-    if sample_fraction >= 1.0:
-        sample = postings.select_columns(["term"])
-    else:
-        sample = postings.select_columns(["term"]).random_sample(sample_fraction)
-    counts = sample.groupby("term").count()
-    cutoff = max(1.0, threshold * sample_fraction)
-
-    def above(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch["count()"], cutoff))
-
-    hot = counts.map_batches(above, batch_format="pyarrow")
-    return {r["term"] for r in hot.take_all()}
-
-
 def estimate_hot_terms_blockwise(
     survivors: ray.data.Dataset, threshold: int, num_docs: int
 ) -> set[str]:
