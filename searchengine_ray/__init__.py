@@ -11,4 +11,4 @@ Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — the session
 is owned by the caller (driver, bench.py, or the pytest fixture).
 """
 
-__version__ = "0.5.1"  # 0.5.1: fused D3 prune + distributed key families (same outputs; cache hygiene)
+__version__ = "0.6.0"  # 0.6.0: fused docs/texts/edges execution + block-task stats (same outputs; cache hygiene)

@@ -31,6 +31,8 @@ import time
 from dataclasses import dataclass
 
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -92,6 +94,93 @@ def _lookup_verified(
     return np.flatnonzero(verified), pos_c
 
 
+EDGES_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+
+def _to_docs(batch: pa.Table) -> pa.Table:
+    """Survivor rows → docs rows (S9 quality slots initialised to 1.0,
+    ``lib/writer.py:143-151``)."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "docid": batch["docid"],
+            "url": batch["url"],
+            "total_tokens": batch["total_tokens"],
+            "doc_len": batch["doc_len"],
+            "pr_quality": pa.array([1.0] * n, pa.float32()),
+            "hub_quality": pa.array([1.0] * n, pa.float32()),
+            "auth_quality": pa.array([1.0] * n, pa.float32()),
+        }
+    )
+
+
+def _resolve_links_tbl(
+    batch: pa.Table,
+    keys_sorted: np.ndarray,
+    keys2_sorted: np.ndarray,
+    docids_sorted: np.ndarray,
+) -> pa.Table:
+    """(src, dst_url) edge rows → (src, dst) via the broadcast url→docid
+    LUT (J1 as a map-side lookup, 128-bit collision-guarded)."""
+    if keys_sorted.size == 0 or batch.num_rows == 0:
+        return EDGES_SCHEMA.empty_table()
+    durls = batch["dst_url"].to_pylist()
+    bkeys = _hashing.hash64_arr(durls)
+    bkeys2 = _hashing.hash64_arr_b2(durls)
+    keep, pos_c = _lookup_verified(keys_sorted, keys2_sorted, bkeys, bkeys2)
+    return pa.table(
+        {
+            "src": pa.array(batch["src"].to_numpy()[keep], pa.int64()),
+            "dst": pa.array(docids_sorted[pos_c[keep]], pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _survivor_block_parts(
+    tbl: pa.Table,
+    want_lut: bool,
+    want_hot: bool,
+    hot_threshold: int,
+    num_docs: int,
+) -> dict:
+    """Per-block partials over the pinned survivor blocks, fetched with raw
+    Ray tasks (locality-scheduled at the block's node) instead of a Dataset
+    execution — each streaming-executor launch costs ~1.5-2 s of
+    CPU-count-independent wall, the dominant term in the measured fixed
+    overhead F (BASELINE.md round-3 F/W fit).
+
+    Returns doc stats (n, max docid, Σdoc_len) always; the 128-bit
+    url→docid LUT key family when ``want_lut``; and the thresholded
+    hot-term ``value_counts`` partial when ``want_hot`` (same per-block
+    floor/4-slack + exact driver-side ≥threshold cutoff as round 3's
+    ``estimate_hot_terms_blockwise``)."""
+    out: dict = {"n": tbl.num_rows, "max_docid": 0, "sum_dl": 0}
+    if tbl.num_rows:
+        out["max_docid"] = int(pc.max(tbl["docid"]).as_py())
+        out["sum_dl"] = int(pc.sum(tbl["doc_len"]).as_py())
+    if want_lut:
+        urls = tbl["url"].to_pylist()
+        out["k1"] = _hashing.hash64_arr(urls)
+        out["k2"] = _hashing.hash64_arr_b2(urls)
+        out["docid"] = tbl["docid"].to_numpy()
+    if want_hot:
+        out["hot_terms"], out["hot_counts"] = [], []
+        if tbl.num_rows:
+            terms = tbl["terms"]
+            if isinstance(terms, pa.ChunkedArray):
+                terms = terms.combine_chunks()
+            vc = pc.value_counts(pc.list_flatten(terms))
+            counts = vc.field("counts")
+            floor = max(
+                1, (hot_threshold * tbl.num_rows) // (max(num_docs, 1) * 4)
+            )
+            mask = pc.greater_equal(counts, floor)
+            out["hot_terms"] = vc.field("values").filter(mask).to_pylist()
+            out["hot_counts"] = counts.filter(mask).to_pylist()
+    return out
+
+
 @dataclass
 class BuildResult:
     out_dir: str
@@ -105,6 +194,7 @@ class BuildResult:
     pruned_neardup: int
     avgdl: float
     wall_s: dict
+    neardup_engine: str = ""
 
     @property
     def docs_dir(self) -> str:
@@ -179,9 +269,6 @@ def build_index(
             # driver path: the key table is small enough to broadcast anyway,
             # so D1/D2 run vectorized on the driver straight from the Arrow
             # refs (no groupby shuffles, no per-group Python)
-
-            import pyarrow.compute as pc
-
             kt = pa.concat_tables(
                 ray.get(keys.materialize().to_arrow_refs())
             ).combine_chunks()
@@ -355,12 +442,35 @@ def build_index(
         near_dup_mode = (
             "window" if num_surv <= dedup.AUTO_WINDOW_THRESHOLD else "lsh"
         )
+    neardup_engine = "off"
     survivors_ex = None
     if near_dup_mode == "window":
-        pruned_arr = np.sort(
-            np.fromiter(dedup.simhash_prune_window(extracted), dtype=np.int64)
-        )
-    elif near_dup_mode == "lsh" and cfg.simhash_bits == 32:
+        neardup_engine = "window"
+        # (docid, simhash) read straight from the extract checkpoint's
+        # Parquet column chunks on the driver (8-12 B/doc, and the window
+        # scan is driver-serial anyway) — skips one executor launch
+        t_ns = pq.read_table(ck_extracted.dir, columns=["docid", "simhash"])
+        if t_ns.num_rows:
+            t_ns = t_ns.take(
+                pc.sort_indices(t_ns, sort_keys=[("docid", "ascending")])
+            )
+            pruned_arr = np.sort(
+                np.fromiter(
+                    dedup.window_prune(
+                        t_ns["docid"].to_numpy(),
+                        t_ns["simhash"].to_numpy().astype(np.uint32),
+                    ),
+                    dtype=np.int64,
+                )
+            )
+        else:
+            pruned_arr = np.empty(0, dtype=np.int64)
+    elif (
+        near_dup_mode == "lsh"
+        and cfg.simhash_bits == 32
+        and num_surv <= dedup.AUTO_DISTRIBUTED_THRESHOLD
+    ):
+        neardup_engine = "lsh_driver_merge"
         # driver distinct-merge path (fastest at ≤2^32 distinct values):
         # the threshold table prunes extracted in the SAME pass that
         # materializes the survivors — no separate pruned-docid execution
@@ -382,7 +492,11 @@ def build_index(
             ).materialize()
             pruned_neardup = num_surv - survivors_ex.count()
     elif near_dup_mode == "lsh":
-        # O(1)-driver shuffle path (also the ≥10^9-doc path)
+        # O(1)-driver shuffle path — auto-selected above
+        # AUTO_DISTRIBUTED_THRESHOLD survivors (where the driver
+        # distinct-merge and 512 MB bitmap stop being the fast path) or at
+        # 64-bit fingerprints; also the ≥10^9-doc path
+        neardup_engine = "lsh_distributed"
         pruned_ds = dedup.simhash_prune_lsh_distributed(
             extracted, bits=cfg.simhash_bits
         )
@@ -414,99 +528,163 @@ def build_index(
         survivors_ex = survivors_ex.materialize()
     wall["neardup"] = time.perf_counter() - t0
 
-    # ---- 7a: docs + texts ----------------------------------------------
+    # ---- 7a: block partials (stats + edge LUT + hot-term estimate) ------
+    # Raw Ray tasks over the pinned survivor blocks replace three separate
+    # streaming executions round 3 paid here (docs.aggregate, the edge-LUT
+    # materialize, the hot-term map_batches) — each launch is ~1.5-2 s of
+    # fixed wall (BASELINE.md F/W fit: F ≈ 40 s capped ×192 scaling).
     t0 = time.perf_counter()
     ck_docs = StageCheckpoint(out_dir, "docs")
-    if ck_docs.is_complete():
-        docs = ck_docs.read()
-    else:
-
-        def to_docs(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "docid": batch["docid"],
-                    "url": batch["url"],
-                    "total_tokens": batch["total_tokens"],
-                    "doc_len": batch["doc_len"],
-                    "pr_quality": pa.array([1.0] * n, pa.float32()),
-                    "hub_quality": pa.array([1.0] * n, pa.float32()),
-                    "auth_quality": pa.array([1.0] * n, pa.float32()),
-                }
-            )
-
-        docs = ck_docs.write(
-            survivors_ex.map_batches(to_docs, batch_format="pyarrow"),
-            pruned_neardup=pruned_neardup,
-        )
-
     ck_texts = StageCheckpoint(out_dir, "texts")
-    if cfg.keep_text and not ck_texts.is_complete():
-        ck_texts.write(survivors_ex.select_columns(["docid", "url", "text"]))
+    ck_edges = StageCheckpoint(out_dir, "edges")
+    ck_seg = StageCheckpoint(out_dir, "segments")
+    docs_done = ck_docs.is_complete()
+    texts_done = (not cfg.keep_text) or ck_texts.is_complete()
+    edges_done = ck_edges.is_complete()
 
-    from ray.data.aggregate import Count, Max, Mean
+    num_docs = survivors_ex.count()  # metadata-only: blocks are pinned
+    last_docid = 0
+    avgdl = 0.0
+    need_stats = True
+    if docs_done:
+        st_docs = ck_docs.load_manifest()
+        if "num_docs" in st_docs:  # stats recorded at write time
+            num_docs = st_docs["num_docs"]
+            last_docid = st_docs["last_docid"]
+            avgdl = st_docs["avgdl"]
+            need_stats = False
+    broadcast_edges = num_docs <= cfg.broadcast_threshold
+    need_lut = (not edges_done) and broadcast_edges
+    need_hot = (
+        not ck_seg.is_complete()
+        and bool(cfg.hot_term_df_threshold)
+        and num_docs > cfg.hot_term_df_threshold
+    )
+    hot: set[str] = set()
+    url_lut_ref = None
+    if need_stats or need_lut or need_hot:
+        parts = ray.get(
+            [
+                _survivor_block_parts.remote(
+                    r, need_lut, need_hot, cfg.hot_term_df_threshold, num_docs
+                )
+                for r in survivors_ex.to_arrow_refs()
+            ]
+        )
+        if need_stats:
+            n_total = sum(p["n"] for p in parts)
+            last_docid = max((p["max_docid"] for p in parts), default=0)
+            avgdl = (
+                sum(p["sum_dl"] for p in parts) / n_total if n_total else 0.0
+            )
+        if need_lut:
+            ukeys = np.concatenate(
+                [p["k1"] for p in parts] or [np.empty(0, np.uint64)]
+            )
+            ukeys2 = np.concatenate(
+                [p["k2"] for p in parts] or [np.empty(0, np.uint64)]
+            )
+            udocids = np.concatenate(
+                [p["docid"] for p in parts] or [np.empty(0, np.int64)]
+            )
+            uorder = np.argsort(ukeys)
+            url_lut_ref = ray.put(
+                (ukeys[uorder], ukeys2[uorder], udocids[uorder])
+            )
+        if need_hot:
+            agg: dict[str, int] = {}
+            for p in parts:
+                for term, n in zip(p["hot_terms"], p["hot_counts"]):
+                    agg[term] = agg.get(term, 0) + n
+            # exact final cutoff (a /2 slack here measured 2× on the whole
+            # segments stage — commit "Fix hot-term cutoff regression")
+            hot = {
+                t for t, n in agg.items() if n >= cfg.hot_term_df_threshold
+            }
+    wall["block_stats"] = time.perf_counter() - t0
 
-    stats = docs.aggregate(Count(), Max("docid"), Mean("doc_len"))
-    num_docs = stats["count()"] or 0
-    last_docid = int(stats["max(docid)"] or 0)
-    avgdl = float(stats["mean(doc_len)"] or 0.0)
+    # ---- 7b: docs + texts + edges in ONE streaming execution ------------
+    # texts and edges stream out as per-batch side-sink Parquet files
+    # (deterministic min-docid filenames — idempotent under task retry;
+    # batches are disjoint docid ranges), docs through the checkpoint
+    # writer; manifests commit only after the execution succeeds, so a
+    # crash mid-pass leaves no manifest and resume wipes the partials.
+    # On a multi-node cluster out_dir is shared storage — the same
+    # assumption write_parquet itself makes.
+    t0 = time.perf_counter()
+    if not docs_done:
+        write_texts = cfg.keep_text and not texts_done
+        write_edges = need_lut  # join-path edges run separately below
+        import shutil
+
+        for flag, ck in ((write_texts, ck_texts), (write_edges, ck_edges)):
+            if flag:
+                if os.path.exists(ck.dir):
+                    shutil.rmtree(ck.dir)
+                os.makedirs(ck.dir, exist_ok=True)
+        texts_dir, edges_dir = ck_texts.dir, ck_edges.dir
+        lut_for_edges = url_lut_ref
+
+        def fused(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _to_docs(batch)
+            stem = f"part-{batch['docid'][0].as_py():012d}.parquet"
+            if write_texts:
+                pq.write_table(
+                    batch.select(["docid", "url", "text"]),
+                    os.path.join(texts_dir, stem),
+                )
+            if write_edges:
+                ks, ks2, dids = ray.get(lut_for_edges)
+                e = _resolve_links_tbl(explode_links(batch), ks, ks2, dids)
+                if e.num_rows:
+                    pq.write_table(e, os.path.join(edges_dir, stem))
+            return _to_docs(batch)
+
+        ck_docs.write(
+            survivors_ex.map_batches(fused, batch_format="pyarrow"),
+            pruned_neardup=pruned_neardup,
+            num_docs=num_docs,
+            last_docid=last_docid,
+            avgdl=avgdl,
+        )
+        if write_texts:
+            ck_texts.commit()
+            texts_done = True
+        if write_edges:
+            if not any(
+                n.endswith(".parquet") for n in os.listdir(edges_dir)
+            ):  # all-empty edge set: keep the checkpoint readable
+                pq.write_table(
+                    EDGES_SCHEMA.empty_table(),
+                    os.path.join(edges_dir, "part-empty.parquet"),
+                )
+            ck_edges.commit()
+            edges_done = True
     wall["docs"] = time.perf_counter() - t0
 
-    # ---- 7b: edges (url→docid resolution, J1) --------------------------
+    # ---- 7c: resume combinations + join-path edges ----------------------
     t0 = time.perf_counter()
-    ck_edges = StageCheckpoint(out_dir, "edges")
-    if not ck_edges.is_complete():
-        raw_edges = survivors_ex.map_batches(explode_links, batch_format="pyarrow")
-        if num_docs <= cfg.broadcast_threshold:
-            # broadcast url→docid resolution (J1 as a map-side lookup):
-            # zero-copy numpy key/docid arrays, not a Python dict
-            url_tbl = pa.concat_tables(
-                ray.get(
-                    docs.select_columns(["url", "docid"]).materialize().to_arrow_refs()
-                )
-            )
-            u_urls = url_tbl["url"].to_pylist()
-            ukeys = _hashing.hash64_arr(u_urls)
-            ukeys2 = _hashing.hash64_arr_b2(u_urls)
-            uorder = np.argsort(ukeys)
-            url_ref = ray.put(
-                (
-                    ukeys[uorder],
-                    ukeys2[uorder],
-                    url_tbl["docid"].to_numpy()[uorder],
-                )
-            )
+    if cfg.keep_text and not texts_done:
+        ck_texts.write(survivors_ex.select_columns(["docid", "url", "text"]))
+    if not edges_done:
+        raw_edges = survivors_ex.map_batches(
+            explode_links, batch_format="pyarrow"
+        )
+        if broadcast_edges:
+            lut = url_lut_ref
 
             def resolve(batch: pa.Table) -> pa.Table:
-                keys_sorted, keys2_sorted, docids_sorted = ray.get(url_ref)
-                if keys_sorted.size == 0:
-                    return pa.table(
-                        {
-                            "src": pa.array([], pa.int64()),
-                            "dst": pa.array([], pa.int64()),
-                        }
-                    )
-                durls = batch["dst_url"].to_pylist()
-                bkeys = _hashing.hash64_arr(durls)
-                bkeys2 = _hashing.hash64_arr_b2(durls)
-                keep, pos_c = _lookup_verified(
-                    keys_sorted, keys2_sorted, bkeys, bkeys2
-                )
-                return pa.table(
-                    {
-                        "src": pa.array(
-                            batch["src"].to_numpy()[keep], pa.int64()
-                        ),
-                        "dst": pa.array(
-                            docids_sorted[pos_c[keep]], pa.int64()
-                        ),
-                    }
-                )
+                ks, ks2, dids = ray.get(lut)
+                return _resolve_links_tbl(batch, ks, ks2, dids)
 
             edges = raw_edges.map_batches(resolve, batch_format="pyarrow")
         else:
+            # url→docid resolution as a cluster-sized hash join (J1 above
+            # the broadcast threshold) — joins the pinned survivors, not a
+            # re-read of the docs Parquet
             resolved = raw_edges.join(
-                docs.select_columns(["url", "docid"]),
+                survivors_ex.select_columns(["url", "docid"]),
                 join_type="inner",
                 num_partitions=join_partitions,
                 on=("dst_url",),
@@ -519,22 +697,12 @@ def build_index(
         ck_edges.write(edges)
     wall["edges"] = time.perf_counter() - t0
 
-    # ---- 7c: posting-list segments (A1, the wide shuffle) ---------------
+    # ---- 7d: posting-list segments (A1, the wide shuffle) ---------------
     t0 = time.perf_counter()
-    ck_seg = StageCheckpoint(out_dir, "segments")
     if ck_seg.is_complete():
         num_terms = ck_seg.load_manifest()["num_terms"]
     else:
         flat = survivors_ex.map_batches(explode_postings, batch_format="pyarrow")
-        hot: set[str] = set()
-        if cfg.hot_term_df_threshold and num_docs > cfg.hot_term_df_threshold:
-            # one vectorized value_counts pass over the materialized
-            # survivors — no explode, no sample, no groupby shuffle
-            t1 = time.perf_counter()
-            hot = postings_mod.estimate_hot_terms_blockwise(
-                survivors_ex, cfg.hot_term_df_threshold, num_docs
-            )
-            wall["segments_hot_estimate"] = time.perf_counter() - t1
         segments = postings_mod.build_segments(
             flat,
             avgdl=avgdl,
@@ -551,7 +719,15 @@ def build_index(
         t1 = time.perf_counter()
         segments.write_parquet(seg_dir, partition_cols=["bucket"])
         wall["segments_shuffle_write"] = time.perf_counter() - t1
-        num_terms = ray.data.read_parquet(seg_dir).count()
+        # row count from the Parquet footers (metadata-only driver read)
+        # instead of a read_parquet().count() execution
+        num_terms = 0
+        for root_, _, names in os.walk(seg_dir):
+            for nme in names:
+                if nme.endswith(".parquet"):
+                    num_terms += pq.ParquetFile(
+                        os.path.join(root_, nme)
+                    ).metadata.num_rows
         ck_seg.commit(num_terms=num_terms, hot_terms=sorted(hot))
     wall["segments"] = time.perf_counter() - t0
 
@@ -567,6 +743,7 @@ def build_index(
         pruned_neardup=pruned_neardup,
         avgdl=float(avgdl),
         wall_s=wall,
+        neardup_engine=neardup_engine,
     )
     tmp = os.path.join(out_dir, MANIFEST + ".tmp")
     with open(tmp, "w") as f:

