@@ -473,6 +473,105 @@ def _trigram_profile_values() -> str:
     return ", ".join(rows)
 
 
+def _knn_ivf_sql(
+    k: int = 10,
+    num_queries: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    lloyd_iters: int = 3,
+) -> str:
+    """Full replay of ``ops.knn_ivf`` in DuckDB: stride-seeded centroids,
+    ``lloyd_iters`` rounds of (argmax-cosine assign → per-dim mean →
+    re-normalize), probe-set selection and IVF-restricted scoring — every
+    step is the same arithmetic the Ray pipeline runs (vectors cast
+    float32→double, normalized, dot products on normalized vectors), so
+    the integer output (query_id, neighbor_id, rank) matches exactly.
+
+    Exact on the full-sample path (≤ ``max(n_centroids*64, 1024)`` vectors
+    — both driver scales): above that the Ray side seeds from a
+    ``random_sample`` pull the SQL can't replay.  Float note: summation
+    ORDER differs (numpy pairwise/BLAS vs sequential), so sims can differ
+    in the last ulp — rank flips would need two distinct vectors within
+    ~1e-14 cosine, and exact duplicates tie-break on neighbor_id in both
+    engines."""
+    norm = (
+        "(SELECT cid, list_transform(w, x -> x / nn) AS c FROM ("
+        "SELECT cid, w, GREATEST(sqrt(list_sum(list_transform(w, y -> y*y)))"
+        ", 1e-30) AS nn FROM ({src})))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        # normalized vectors (numpy: v / max(||v||, 1e-30))
+        "en AS (SELECT vec_id, list_transform(v, x -> x / nn) AS v FROM ("
+        "SELECT vec_id, v, GREATEST(sqrt(list_sum(list_transform(v, "
+        "y -> y*y))), 1e-30) AS nn FROM e)), "
+        "nt AS (SELECT count(*) AS n FROM en), "
+        # stride seeding over the vec_id-sorted table == sample[::stride][:C]
+        "sed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, v "
+        "FROM en), "
+        f"c0 AS (SELECT row_number() OVER (ORDER BY rn) - 1 AS cid, v AS c "
+        f"FROM sed WHERE rn % GREATEST((SELECT n FROM nt) // {n_centroids}, 1) = 0 "
+        f"ORDER BY rn LIMIT {n_centroids})",
+    ]
+    prev = "c0"
+    for r in range(1, lloyd_iters + 1):
+        parts.append(
+            # argmax-cosine assignment (ties → lowest cid, numpy argmax)
+            f"a{r} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT en.vec_id, en.v, {prev}.cid, row_number() OVER ("
+            f"PARTITION BY en.vec_id ORDER BY list_dot_product(en.v, "
+            f"{prev}.c) DESC, {prev}.cid ASC) AS rnk "
+            f"FROM en CROSS JOIN {prev}) WHERE rnk = 1)"
+        )
+        parts.append(
+            # per-dimension mean of the assigned normalized vectors
+            f"u{r} AS (SELECT cid, list(sv ORDER BY i) AS m FROM ("
+            f"SELECT cid, i, sum(x) / count(x) AS sv FROM ("
+            f"SELECT a{r}.cid, u.i, a{r}.v[CAST(u.i AS INT)] AS x "
+            f"FROM a{r}, UNNEST(generate_series(1, len(a{r}.v))) u(i)) "
+            f"GROUP BY cid, i) GROUP BY cid)"
+        )
+        # empty clusters keep the previous centroid; ALL centroids are then
+        # re-normalized (numpy normalizes the full matrix each round)
+        src = (
+            f"SELECT {prev}.cid, COALESCE(u{r}.m, {prev}.c) AS w "
+            f"FROM {prev} LEFT JOIN u{r} USING (cid)"
+        )
+        parts.append(f"c{r} AS {norm.format(src=src)}")
+        prev = f"c{r}"
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM en "
+        f"ORDER BY vec_id LIMIT {num_queries})"
+    )
+    parts.append(
+        f"pr AS (SELECT query_id, cid FROM ("
+        f"SELECT q.query_id, {prev}.cid, row_number() OVER ("
+        f"PARTITION BY q.query_id ORDER BY list_dot_product(q.qv, {prev}.c) "
+        f"DESC, {prev}.cid ASC) AS rnk FROM q CROSS JOIN {prev}) "
+        f"WHERE rnk <= {nprobe})"
+    )
+    parts.append(
+        f"a4 AS (SELECT vec_id, v, cid FROM ("
+        f"SELECT en.vec_id, en.v, {prev}.cid, row_number() OVER ("
+        f"PARTITION BY en.vec_id ORDER BY list_dot_product(en.v, {prev}.c) "
+        f"DESC, {prev}.cid ASC) AS rnk FROM en CROSS JOIN {prev}) "
+        f"WHERE rnk = 1)"
+    )
+    parts.append(
+        "s AS (SELECT pr.query_id, a4.vec_id AS neighbor_id, "
+        "list_dot_product(a4.v, q.qv) AS sim "
+        "FROM pr JOIN q USING (query_id) JOIN a4 ON a4.cid = pr.cid)"
+    )
+    return (
+        ", ".join(parts)
+        + f" SELECT query_id, neighbor_id, rank FROM ("
+        f"SELECT query_id, neighbor_id, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank "
+        f"FROM s) WHERE rank <= {k}"
+    )
+
+
 def _minhash_perm_values() -> str:
     """The 64 MinHash permutation constants as SQL VALUES rows (i, a, b) —
     shared verbatim with ops._MH_A/_MH_B (63-bit, so HUGEINT h*a+b never
@@ -822,4 +921,5 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s) "
             "WHERE rank <= 10"
         ),
+        "knn_ivf": _knn_ivf_sql(),
     }

@@ -66,6 +66,14 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BLOCK_MAX_SIZE = 128  # postings per block-max block
 
+# Parquet row-group size for the written segments: the query engine seeks
+# by per-row-group (min, max) term footer stats (each segment file is
+# term-sorted), so a cold term fetch decompresses one row group — this is
+# the rebuild's ".seek" granularity (lib/reader.py:88-101).  Small enough
+# that a fetch touches ~512 posting rows; large enough that full-segment
+# scans (oracle replays, merges) keep their throughput.
+SEGMENT_ROW_GROUP_SIZE = 512
+
 
 @dataclass
 class BuildConfig:

@@ -717,7 +717,13 @@ def build_index(
         if os.path.exists(seg_dir):
             shutil.rmtree(seg_dir)
         t1 = time.perf_counter()
-        segments.write_parquet(seg_dir, partition_cols=["bucket"])
+        segments.write_parquet(
+            seg_dir,
+            partition_cols=["bucket"],
+            # small row groups = the query engine's seek granularity (the
+            # footer min/max term stats per row group are the ".seek" file)
+            row_group_size=params.SEGMENT_ROW_GROUP_SIZE,
+        )
         wall["segments_shuffle_write"] = time.perf_counter() - t1
         # row count from the Parquet footers (metadata-only driver read)
         # instead of a read_parquet().count() execution

@@ -233,31 +233,64 @@ def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
 class LangIdTrigram:
     """Char-trigram language ID as a stateful batch stage: the profile
     tables compile once per worker; ``__call__`` scores batches.  Returns
-    the argmax profile by trigram-hit rate ('und' when no profile hits)."""
+    the argmax profile by trigram-hit rate ('und' when no profile hits).
+
+    Vectorized: each character position's trigram becomes one uint64 code
+    (three 21-bit code points — full Unicode range), counted against the
+    sorted profile-code table with one ``searchsorted`` + ``bincount`` per
+    doc; per-lang hit totals are a single matmul.  Overlapping-position
+    semantics identical to the per-position scan the DuckDB oracle runs
+    (``substring(s, i, 3)`` per i)."""
 
     def __init__(self) -> None:
-        self.profiles = {
-            lang: frozenset(tris) for lang, tris in _LANG_TRIGRAMS.items()
-        }
+        self.langs = list(_LANG_TRIGRAMS)  # dict order = tie priority
+
+        def code(g: str) -> np.uint64:
+            a, b, c = (ord(ch) for ch in g)
+            return np.uint64((a << 42) | (b << 21) | c)
+
+        all_codes = sorted(
+            {code(g) for tris in _LANG_TRIGRAMS.values() for g in tris}
+        )
+        self.prof_codes = np.array(all_codes, dtype=np.uint64)
+        self.prof_mat = np.zeros(
+            (len(all_codes), len(self.langs)), dtype=np.int64
+        )
+        for li, lang in enumerate(self.langs):
+            for g in _LANG_TRIGRAMS[lang]:
+                self.prof_mat[int(np.searchsorted(self.prof_codes, code(g))), li] = 1
+
+    def _tri_codes(self, t: str) -> np.ndarray:
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.uint64
+        )
+        if cps.size < 3:
+            return np.empty(0, dtype=np.uint64)
+        return (
+            (cps[:-2] << np.uint64(42))
+            | (cps[1:-1] << np.uint64(21))
+            | cps[2:]
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, langs = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            t = f" {(text or '').lower()} "
-            grams = [t[i : i + 3] for i in range(len(t) - 2)]
+        ids = batch["doc_id"].to_pylist()
+        langs_out = []
+        U, M = self.prof_codes, self.prof_mat
+        for text in batch["text"].to_pylist():
+            tri = self._tri_codes(f" {(text or '').lower()} ")
+            pos = np.searchsorted(U, tri)
+            pos_c = np.minimum(pos, U.size - 1)
+            valid = U[pos_c] == tri
+            hits = np.bincount(pos_c[valid], minlength=U.size) @ M
             best, best_hits = "und", 0
-            for lang, prof in self.profiles.items():
-                hits = sum(1 for g in grams if g in prof)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            ids.append(doc_id)
-            langs.append(best)
+            for li, lang in enumerate(self.langs):  # strict > keeps dict-
+                if hits[li] > best_hits:  # order tie priority (oracle pri)
+                    best, best_hits = lang, int(hits[li])
+            langs_out.append(best)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "pred_lang": pa.array(langs, pa.string()),
+                "pred_lang": pa.array(langs_out, pa.string()),
             }
         )
 
@@ -351,23 +384,41 @@ def fingerprint(sf_dir: str, w: int = 8, window: int = 4) -> ray.data.Dataset:
     oracle checks it exactly."""
 
     def fp(batch: pa.Table) -> pa.Table:
+        from hashlib import md5
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
         ids, counts, mins, maxs = [], [], [], []
+        # one flat hashing pass over every shingle in the batch (md5 is
+        # irreducibly per-string, but the window minima and dedup below
+        # are numpy — the round-3 set-comprehension scan was the wall)
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
             toks = tokenizer.simple_tokens(text or "")
-            hs = [
-                _md5_60(" ".join(toks[i : i + w]))
-                for i in range(max(0, len(toks) - w + 1))
-            ]
-            sel = {
-                min(hs[i : i + window])
-                for i in range(max(0, len(hs) - window + 1))
-            } or {0}
+            n = max(0, len(toks) - w + 1)
+            # int.from_bytes(digest[:8])>>4 == int(hexdigest[:15], 16)
+            # (top 60 bits) — same value as _md5_60, no hex round-trip
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        md5(" ".join(toks[i : i + w]).encode()).digest()[:8],
+                        "big",
+                    )
+                    >> 4
+                    for i in range(n)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            if hs.size >= window:
+                sel = np.unique(sliding_window_view(hs, window).min(axis=1))
+            else:
+                sel = np.zeros(1, dtype=np.int64)
             ids.append(doc_id)
-            counts.append(len(sel))
-            mins.append(min(sel))
-            maxs.append(max(sel))
+            counts.append(int(sel.size))
+            mins.append(int(sel[0]))
+            maxs.append(int(sel[-1]))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -1346,8 +1397,13 @@ def knn_ivf(
     )
     sample = np.array(sample_tbl["embedding"].to_pylist(), dtype=np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
-    rng = np.random.RandomState(11)
-    centroids = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    # deterministic stride seeding over the vec_id-sorted sample: evenly
+    # spread, reproducible, and SQL-expressible — the DuckDB oracle replays
+    # the whole train+search exactly (an RNG choice here was the one
+    # non-replayable step, VERDICT r3 next #6)
+    n_centroids = min(n_centroids, len(sample))
+    stride = max(1, len(sample) // n_centroids)
+    centroids = sample[::stride][:n_centroids].copy()
 
     def _assign_partial(batch: pa.Table, cent_ref) -> pa.Table:
         cent = ray.get(cent_ref)

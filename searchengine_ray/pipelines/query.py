@@ -38,7 +38,6 @@ from collections import OrderedDict
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from searchengine_ray import params
@@ -82,44 +81,95 @@ class QueryEngine:
             zip(ids.tolist(), docs["url"].to_pylist())
         )
         self.segments_dir = os.path.join(index_dir, "segments")
-        self._seg_ds: dict[int, pads.Dataset] = {}
+        # per-bucket seek tables: [(ParquetFile, rg min terms, rg max terms)]
+        self._seg_seek: dict[int, list] = {}
         self._cache: OrderedDict[str, tuple | None] = OrderedDict()
         self._cache_size = cache_size
 
     # ------------------------------------------------------------ postings
 
-    def _bucket_ds(self, bucket: int) -> pads.Dataset | None:
-        ds = self._seg_ds.get(bucket)
-        if ds is None:
+    _FETCH_COLS = [
+        "term", "docids_vb", "tfs_vb", "fields", "block_last", "block_bound",
+    ]
+
+    def _bucket_seek(self, bucket: int) -> list:
+        """Lazy per-bucket seek table from the Parquet footers alone: each
+        segment file is term-sorted (the shard encoder sorts by term), so
+        the per-row-group (min, max) term statistics are disjoint ascending
+        ranges — the rebuild's ``.seek`` file (``lib/reader.py:88-101``),
+        read without touching any data pages."""
+        seek = self._seg_seek.get(bucket)
+        if seek is None:
+            seek = []
             path = os.path.join(self.segments_dir, f"bucket={bucket}")
-            if not os.path.isdir(path):
-                self._seg_ds[bucket] = False  # type: ignore[assignment]
-                return None
-            ds = pads.dataset(path, format="parquet")
-            self._seg_ds[bucket] = ds
-        return ds or None
+            if os.path.isdir(path):
+                for name in sorted(os.listdir(path)):
+                    if not name.endswith(".parquet"):
+                        continue
+                    pf = pq.ParquetFile(os.path.join(path, name))
+                    md = pf.metadata
+                    names = [md.schema.column(i).name for i in range(md.num_columns)]
+                    ci = names.index("term")
+                    mins, maxs = [], []
+                    for i in range(md.num_row_groups):
+                        st = md.row_group(i).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            # stats absent: unbounded range (always probed)
+                            mins.append("")
+                            maxs.append("\U0010ffff")
+                        else:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    seek.append((pf, mins, maxs))
+            self._seg_seek[bucket] = seek
+        return seek
 
     def fetch(self, term: str):
-        """(docids, tfs, importants, block_last, block_bound) or None."""
+        """(docids, tfs, importants, block_last, block_bound) or None.
+
+        Cold path: binary-search each bucket file's row-group term ranges,
+        decompress exactly one row group (``SEGMENT_ROW_GROUP_SIZE`` rows)
+        from the one file whose range covers the term — the term lives in
+        exactly one shard file (crc-sharded at build).  Warm path: LRU
+        (``lib/reader.py:229``'s ``lru_cache(256)``)."""
+        import bisect
+
         if term in self._cache:
             self._cache.move_to_end(term)
             return self._cache[term]
         bucket = zlib.crc32(term.encode("utf-8")) % self.num_buckets
-        ds = self._bucket_ds(bucket)
         row = None
-        if ds is not None:
-            t = ds.to_table(filter=pc.field("term") == term)
-            if t.num_rows:
-                r = t.to_pylist()[0]
-                docids, tfs = varbyte.decode_postings(r["docids_vb"], r["tfs_vb"])
-                imps = np.frombuffer(r["fields"], dtype=np.uint8).astype(np.int64)
-                row = (
-                    docids,
-                    tfs,
-                    imps,
-                    np.asarray(r["block_last"], dtype=np.int64),
-                    np.asarray(r["block_bound"], dtype=np.float64),
-                )
+        for pf, mins, maxs in self._bucket_seek(bucket):
+            i = bisect.bisect_left(maxs, term)  # first rg with max >= term
+            sel = -1
+            # probe forward while the rg range can still cover the term:
+            # stats min/max may be truncated supersets of the true range,
+            # so a miss in rg i falls through to i+1 (one probe in the
+            # common untruncated case — ranges are disjoint ascending)
+            while i < len(maxs) and mins[i] <= term:
+                # cheap membership probe on the term column alone — the
+                # range covers the term in one rg of EVERY bucket file
+                # (terms are hash-scattered across shard files), so most
+                # probes miss; the posting columns are read only on hit
+                probe = pf.read_row_group(i, columns=["term"])
+                sel = pc.index(pc.equal(probe["term"], term), True).as_py()
+                if sel >= 0:
+                    t = pf.read_row_group(i, columns=self._FETCH_COLS)
+                    break
+                i += 1
+            if sel < 0:
+                continue
+            r = t.slice(sel, 1).to_pylist()[0]
+            docids, tfs = varbyte.decode_postings(r["docids_vb"], r["tfs_vb"])
+            imps = np.frombuffer(r["fields"], dtype=np.uint8).astype(np.int64)
+            row = (
+                docids,
+                tfs,
+                imps,
+                np.asarray(r["block_last"], dtype=np.int64),
+                np.asarray(r["block_bound"], dtype=np.float64),
+            )
+            break
         self._cache[term] = row
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
