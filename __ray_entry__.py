@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": ops.fingerprint,
         "token_count_bpe": ops.token_count_bpe,
         "quality_score": ops.quality_score,
+        "repetition_stats": ops.repetition_stats,
         "language_id_trigram": ops.language_id_trigram,
         "media_features": media_features,
         "media_meta": media_meta,
@@ -896,6 +897,40 @@ def oracle_sql() -> dict[str, str]:
             "AND COALESCE(t.n_stop, 0) >= 2 "
             "AND 5 * c.n_punct <= c.n_chars) AS keep "
             "FROM chars c LEFT JOIN toks t ON c.doc_id = t.doc_id"
+        ),
+        "repetition_stats": (
+            # Gopher-style repetition filters; all counts are ints so the
+            # keep_rep flag (integer comparisons only) matches exactly.
+            "WITH l AS (SELECT doc_id, unnest(string_split(COALESCE(text,''), "
+            "chr(10))) AS line FROM documents), "
+            "lagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+            "CAST(count(*) - count(DISTINCT line) AS BIGINT) AS n_dup_lines, "
+            "CAST(sum(length(line)) AS BIGINT) AS n_line_chars FROM l "
+            "GROUP BY doc_id), "
+            "ldist AS (SELECT doc_id, CAST(sum(length(line)) AS BIGINT) AS "
+            "distinct_chars FROM (SELECT DISTINCT doc_id, line FROM l) "
+            "GROUP BY doc_id), "
+            "t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower("
+            "COALESCE(text,'')), '[^a-z0-9]+'), x -> x <> '') AS ts "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, ts[CAST(i AS INT)] || ' ' || "
+            "ts[CAST(i + 1 AS INT)] AS bigram FROM t, "
+            "UNNEST(generate_series(1, len(ts) - 1)) u(i)), "
+            "bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams, "
+            "CAST(max(c) AS BIGINT) AS max_2gram_count FROM ("
+            "SELECT doc_id, bigram, count(*) AS c FROM bg "
+            "GROUP BY doc_id, bigram) GROUP BY doc_id) "
+            "SELECT d.doc_id, la.n_lines, la.n_dup_lines, la.n_line_chars, "
+            "CAST(la.n_line_chars - ld.distinct_chars AS BIGINT) AS "
+            "dup_line_chars, COALESCE(ba.n_2grams, 0) AS n_2grams, "
+            "COALESCE(ba.max_2gram_count, 0) AS max_2gram_count, "
+            "(10 * la.n_dup_lines <= 3 * la.n_lines "
+            "AND 5 * (la.n_line_chars - ld.distinct_chars) <= la.n_line_chars "
+            "AND (COALESCE(ba.n_2grams, 0) < 20 "
+            "OR 5 * COALESCE(ba.max_2gram_count, 0) <= "
+            "COALESCE(ba.n_2grams, 0))) AS keep_rep "
+            "FROM documents d JOIN lagg la USING (doc_id) "
+            "JOIN ldist ld USING (doc_id) LEFT JOIN bagg ba USING (doc_id)"
         ),
         "language_id_trigram": (
             "WITH t AS (SELECT doc_id, ' ' || lower(COALESCE(text,'')) || ' ' AS s "

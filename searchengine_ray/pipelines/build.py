@@ -326,15 +326,10 @@ def build_index(
             )
         else:
             pruned_empty = keys.filter(expr="empty == True").count()
-            survivors = dedup.dedup_url_exact(keys).materialize()
-            num_surv = survivors.count()
-            # D1 survivor count (for the pruned_url/exact split)
-            d1_count = (
-                keys.filter(expr="empty == False")
-                .groupby("defrag_url")
-                .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-                .count()
+            survivors, d1_count, num_surv = dedup.dedup_url_exact(
+                keys, num_partitions=join_partitions
             )
+            survivors = survivors.materialize()
             pruned_url = num_rows - pruned_empty - d1_count
             pruned_exact = d1_count - num_surv
         wall["dedup"] = time.perf_counter() - t1

@@ -235,62 +235,58 @@ class LangIdTrigram:
     tables compile once per worker; ``__call__`` scores batches.  Returns
     the argmax profile by trigram-hit rate ('und' when no profile hits).
 
-    Vectorized: each character position's trigram becomes one uint64 code
-    (three 21-bit code points — full Unicode range), counted against the
-    sorted profile-code table with one ``searchsorted`` + ``bincount`` per
-    doc; per-lang hit totals are a single matmul.  Overlapping-position
-    semantics identical to the per-position scan the DuckDB oracle runs
-    (``substring(s, i, 3)`` per i)."""
+    Fully vectorized across the batch (no per-doc Python loop): one
+    ``pc.count_substring`` C++ scan over the padded text column per
+    distinct profile trigram (~40 kernels), then per-lang totals as a
+    single (docs × trigrams) @ (trigrams × langs) matmul.  Arrow counts
+    NON-overlapping occurrences, which equals the per-position overlapping
+    count the DuckDB oracle computes (``substring(s, i, 3)`` per i)
+    because no profile trigram can overlap itself — ``__init__`` asserts
+    that property (no period-1/-2 border) so a future profile edit cannot
+    silently change semantics."""
 
     def __init__(self) -> None:
         self.langs = list(_LANG_TRIGRAMS)  # dict order = tie priority
-
-        def code(g: str) -> np.uint64:
-            a, b, c = (ord(ch) for ch in g)
-            return np.uint64((a << 42) | (b << 21) | c)
-
-        all_codes = sorted(
-            {code(g) for tris in _LANG_TRIGRAMS.values() for g in tris}
+        self.tris = sorted(
+            {g for tris in _LANG_TRIGRAMS.values() for g in tris}
         )
-        self.prof_codes = np.array(all_codes, dtype=np.uint64)
-        self.prof_mat = np.zeros(
-            (len(all_codes), len(self.langs)), dtype=np.int64
-        )
+        for g in self.tris:
+            # a string overlaps a shifted copy of itself only via a proper
+            # border: shift-1 needs g[1:] == g[:2], shift-2 needs g[0] == g[2]
+            assert not (g[1:] == g[:2] or g[0] == g[2]), (
+                f"profile trigram {g!r} can self-overlap; non-overlapping "
+                "count_substring would diverge from the per-position scan"
+            )
+        tri_ix = {g: i for i, g in enumerate(self.tris)}
+        self.prof_mat = np.zeros((len(self.tris), len(self.langs)), dtype=np.int64)
         for li, lang in enumerate(self.langs):
             for g in _LANG_TRIGRAMS[lang]:
-                self.prof_mat[int(np.searchsorted(self.prof_codes, code(g))), li] = 1
-
-    def _tri_codes(self, t: str) -> np.ndarray:
-        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
-            np.uint64
-        )
-        if cps.size < 3:
-            return np.empty(0, dtype=np.uint64)
-        return (
-            (cps[:-2] << np.uint64(42))
-            | (cps[1:-1] << np.uint64(21))
-            | cps[2:]
-        )
+                self.prof_mat[tri_ix[g], li] = 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        langs_out = []
-        U, M = self.prof_codes, self.prof_mat
-        for text in batch["text"].to_pylist():
-            tri = self._tri_codes(f" {(text or '').lower()} ")
-            pos = np.searchsorted(U, tri)
-            pos_c = np.minimum(pos, U.size - 1)
-            valid = U[pos_c] == tri
-            hits = np.bincount(pos_c[valid], minlength=U.size) @ M
-            best, best_hits = "und", 0
-            for li, lang in enumerate(self.langs):  # strict > keeps dict-
-                if hits[li] > best_hits:  # order tie priority (oracle pri)
-                    best, best_hits = lang, int(hits[li])
-            langs_out.append(best)
+        pad = pa.scalar(" ")
+        text = pc.binary_join_element_wise(
+            pad,
+            pc.utf8_lower(pc.fill_null(_acol(batch, "text"), "")),
+            pad,
+            pa.scalar(""),  # separator
+        )
+        counts = np.stack(
+            [
+                pc.count_substring(text, g).to_numpy(zero_copy_only=False)
+                for g in self.tris
+            ],
+            axis=1,
+        ).astype(np.int64)
+        hits = counts @ self.prof_mat  # (docs, langs)
+        best = np.argmax(hits, axis=1)  # first max = dict-order tie priority
+        any_hit = hits.max(axis=1, initial=0) > 0
+        lang_lut = np.array(self.langs + ["und"], dtype=object)
+        pred = lang_lut[np.where(any_hit, best, len(self.langs))]
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "pred_lang": pa.array(langs_out, pa.string()),
+                "doc_id": pc.cast(_acol(batch, "doc_id"), pa.int64()),
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
             }
         )
 
@@ -367,6 +363,86 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
     return _docs_text(sf_dir).map_batches(qs, batch_format="pyarrow")
 
 
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 shape):
+    per-doc duplicate-line counts and top word-bigram dominance, plus an
+    integer-arithmetic ``keep_rep`` flag — duplicate lines ≤ 30% of lines,
+    characters in repeated line occurrences ≤ 20% of line characters, and
+    (for docs with ≥ 20 bigrams) the most frequent bigram ≤ 20% of
+    bigrams.  All counts are ints, so the DuckDB oracle checks the flag
+    exactly.
+
+    Fully vectorized, no Python row loop: Arrow ``split_pattern`` /
+    ``dictionary_encode`` kernels produce integer line/token codes, and
+    duplicate counting is numpy ``unique``/``bincount`` over
+    (doc, code) composite keys."""
+
+    def dict_codes(arr) -> np.ndarray:
+        enc = pc.dictionary_encode(arr)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()  # unifies chunk dictionaries
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def rep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = pc.fill_null(_acol(batch, "text"), "")
+
+        # --- line duplication: codes via dictionary_encode (C++), then
+        # composite (doc, line-code) keys — first occurrence = distinct
+        lines = pc.split_pattern(text, "\n")
+        flat = pc.list_flatten(lines)
+        parent = (
+            pc.list_parent_indices(lines)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = dict_codes(flat)
+        n_codes = int(codes.max()) + 1 if codes.size else 1
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        line_chars = np.bincount(parent, weights=lens, minlength=n).astype(np.int64)
+        _, first_ix = np.unique(parent * n_codes + codes, return_index=True)
+        n_distinct = np.bincount(parent[first_ix], minlength=n).astype(np.int64)
+        distinct_chars = np.bincount(
+            parent[first_ix], weights=lens[first_ix], minlength=n
+        ).astype(np.int64)
+        n_dup_lines = n_lines - n_distinct
+        dup_line_chars = line_chars - distinct_chars
+
+        # --- top word-bigram dominance over simple_tokens
+        tparent, ttok = _flat_tokens(batch)
+        tcodes = dict_codes(ttok)
+        v = int(tcodes.max()) + 1 if tcodes.size else 1
+        adj = tparent[1:] == tparent[:-1]  # consecutive tokens, same doc
+        bdoc = tparent[:-1][adj] if tcodes.size else np.empty(0, np.int64)
+        n_2grams = np.bincount(bdoc, minlength=n).astype(np.int64)
+        max_2gram = np.zeros(n, dtype=np.int64)
+        if bdoc.size:
+            bkey = (bdoc * v + tcodes[:-1][adj]) * v + tcodes[1:][adj]
+            ukey, ucnt = np.unique(bkey, return_counts=True)
+            np.maximum.at(max_2gram, ukey // (v * v), ucnt)
+
+        keep = (
+            (10 * n_dup_lines <= 3 * n_lines)
+            & (5 * dup_line_chars <= line_chars)
+            & ((n_2grams < 20) | (5 * max_2gram <= n_2grams))
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(_acol(batch, "doc_id"), pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_dup_lines": pa.array(n_dup_lines, pa.int64()),
+                "n_line_chars": pa.array(line_chars, pa.int64()),
+                "dup_line_chars": pa.array(dup_line_chars, pa.int64()),
+                "n_2grams": pa.array(n_2grams, pa.int64()),
+                "max_2gram_count": pa.array(max_2gram, pa.int64()),
+                "keep_rep": pa.array(keep),
+            }
+        )
+
+    return _docs_text(sf_dir).map_batches(rep, batch_format="pyarrow")
+
+
 def _md5_60(s: str) -> int:
     """60-bit shingle hash shared VERBATIM with the DuckDB oracle:
     ``CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)``."""
@@ -389,20 +465,27 @@ def fingerprint(sf_dir: str, w: int = 8, window: int = 4) -> ray.data.Dataset:
         from numpy.lib.stride_tricks import sliding_window_view
 
         ids, counts, mins, maxs = [], [], [], []
-        # one flat hashing pass over every shingle in the batch (md5 is
-        # irreducibly per-string, but the window minima and dedup below
-        # are numpy — the round-3 set-comprehension scan was the wall)
+        # md5 is irreducibly per-shingle, but everything around it is
+        # batched: the doc's tokens are joined + encoded ONCE and each
+        # shingle is a byte slice of that buffer (tokens are [a-z0-9]+ so
+        # every 0x20 byte is a separator), and the window minima / dedup
+        # below are numpy — no per-shingle join/encode machinery
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
             toks = tokenizer.simple_tokens(text or "")
             n = max(0, len(toks) - w + 1)
+            if n:
+                enc = " ".join(toks).encode()
+                sep = np.flatnonzero(np.frombuffer(enc, np.uint8) == 0x20)
+                starts = np.concatenate(([0], sep + 1))
+                ends = np.concatenate((sep, [len(enc)]))
             # int.from_bytes(digest[:8])>>4 == int(hexdigest[:15], 16)
             # (top 60 bits) — same value as _md5_60, no hex round-trip
             hs = np.fromiter(
                 (
                     int.from_bytes(
-                        md5(" ".join(toks[i : i + w]).encode()).digest()[:8],
+                        md5(enc[starts[i] : ends[i + w - 1]]).digest()[:8],
                         "big",
                     )
                     >> 4

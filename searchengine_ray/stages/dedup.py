@@ -40,27 +40,57 @@ from searchengine_ray import params
 from searchengine_ray.functions import hashing
 
 
-def _keep_min_docid(group: pa.Table) -> pa.Table:
-    """One row per group: the minimum-docid row (first-wins under canonical
-    order)."""
-    idx = pc.index(
-        pc.equal(group["docid"], pc.min(group["docid"])), True
-    ).as_py()
-    return group.slice(idx, 1)
+def _min_docid_winners(
+    ds: ray.data.Dataset, col: str, num_partitions: int
+) -> tuple[ray.data.Dataset, int]:
+    """Rows whose docid is their group's minimum, with no per-group Python:
+    the built-in (vectorized C) ``min`` aggregate produces the
+    (key, min docid) winner table, and an inner hash join on (key, docid)
+    selects exactly those rows — docid is globally unique, so the join is a
+    precise argmin semi-join.
+
+    Returns (winners, group count).  The group count is free (one row per
+    key in the aggregate output), so callers get D1/D2 prune accounting
+    without an extra pass.
+
+    Scale note: the previous ``groupby(col).map_groups(keep_min)`` form
+    invoked Python once per group — measured ~3.3M calls per pass at the
+    ×768 bench corpus (3.84M pages), turning a seconds-sized stage into
+    tens of minutes.  This form is one aggregate shuffle + one hash join
+    over the narrow key table, both vectorized end to end."""
+    mins = (
+        ds.groupby(col)
+        .min("docid")
+        .map_batches(
+            lambda t, c=col: pa.table({c: t[c], "docid": t["min(docid)"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_groups = mins.count()
+    winners = ds.join(
+        mins,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(col, "docid"),
+    )
+    return winners, n_groups
 
 
-def dedup_url_exact(keys: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_url_exact(
+    keys: ray.data.Dataset, num_partitions: int = 16
+) -> tuple[ray.data.Dataset, int, int]:
     """D1 ∘ D2 over the key table (docid, defrag_url, empty, exact_hash).
 
-    Returns the surviving rows (min docid per defrag_url, then per
-    exact_hash).  Two key-table shuffles; html untouched.
-    """
+    Returns (survivors, d1_count, d2_count): the surviving rows (min docid
+    per defrag_url, then per exact_hash) plus the per-stage group counts
+    for prune accounting.  Two aggregate+join rounds over the narrow key
+    table; html untouched."""
     nonempty = keys.filter(expr="empty == False")
-    d1 = nonempty.groupby("defrag_url").map_groups(
-        _keep_min_docid, batch_format="pyarrow"
-    )
-    d2 = d1.groupby("exact_hash").map_groups(_keep_min_docid, batch_format="pyarrow")
-    return d2
+    d1, n_urls = _min_docid_winners(nonempty, "defrag_url", num_partitions)
+    d1 = d1.materialize()
+    d2, n_hashes = _min_docid_winners(d1, "exact_hash", num_partitions)
+    return d2, n_urls, n_hashes
 
 
 def window_prune(

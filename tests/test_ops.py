@@ -67,6 +67,7 @@ SQL_CHECKED = [
     "knn_cosine",
     "token_count_bpe",
     "quality_score",
+    "repetition_stats",
     "language_id_trigram",
     "ngram_jaccard",
     "fingerprint",
@@ -233,6 +234,38 @@ def test_language_id_trigram(entry, ray_session):
     # the synthetic docs are English-ish data vocabulary
     en = sum(1 for r in rows if r["pred_lang"] == "en")
     assert en > len(rows) * 0.5
+
+
+def test_repetition_stats_flags_planted_spam(entry, ray_session, tmp_path):
+    """A doc that repeats one line 50× must fail the duplicate-line gates;
+    a doc dominated by one bigram must fail the bigram gate; normal prose
+    passes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    prose = t["text"][0].as_py()
+    rows = [
+        {"doc_id": 1, "text": prose, "lang": "en", "source": "s",
+         "n_chars": len(prose)},
+        {"doc_id": 2, "text": "buy cheap pills now\n" * 50, "lang": "en",
+         "source": "s", "n_chars": 1000},
+        {"doc_id": 3, "text": "click here " * 40, "lang": "en", "source": "s",
+         "n_chars": 440},
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema),
+                   d / "documents.parquet")
+
+    from searchengine_ray.pipelines import ops
+
+    out = {r["doc_id"]: r for r in ops.repetition_stats(str(d)).take_all()}
+    assert out[1]["keep_rep"]
+    assert not out[2]["keep_rep"]
+    assert out[2]["n_dup_lines"] == 49
+    assert not out[3]["keep_rep"]
+    assert out[3]["max_2gram_count"] >= 39
 
 
 def test_verified_prune_join_matches_driver(entry, ray_session, monkeypatch):
