@@ -265,6 +265,7 @@ def build_index(
         t1 = time.perf_counter()
         num_rows = keys.count()
         broadcast = num_rows <= cfg.broadcast_threshold
+        lut_ref = None
         if broadcast:
             # driver path: the key table is small enough to broadcast anyway,
             # so D1/D2 run vectorized on the driver straight from the Arrow
@@ -325,17 +326,50 @@ def build_index(
                 )
             )
         else:
-            pruned_empty = keys.filter(expr="empty == True").count()
-            survivors, d1_count, num_surv = dedup.dedup_url_exact(
+            # distributed path: D1 exploits the canonical sort (zero-
+            # shuffle run starts + O(blocks) boundary stitch), D2 is one
+            # 24 B/row min aggregate — no per-group Python, no full-width
+            # key-table join (dedup.dedup_sorted docstring has the ×768
+            # measurements that motivated this)
+            survivors, dstats = dedup.dedup_sorted(
                 keys, num_partitions=join_partitions
             )
             survivors = survivors.materialize()
+            pruned_empty = dstats["n_empty"]
+            d1_count = dstats["d1_count"]
+            num_surv = dstats["d2_count"]
             pruned_url = num_rows - pruned_empty - d1_count
             pruned_exact = d1_count - num_surv
+            if num_surv <= cfg.broadcast_threshold:
+                # the attach gate keys off SURVIVORS, not input rows: a
+                # heavy-dup corpus (3.84M pages → 214k docs at the ×768
+                # bench) gets a few-MB (k1, k2, docid) LUT broadcast and
+                # the html payload never rides a join shuffle
+                sv_tabs = [
+                    t
+                    for t in ray.get(
+                        survivors.select_columns(["k1", "k2", "docid"])
+                        .materialize()
+                        .to_arrow_refs()
+                    )
+                    if t.num_rows  # zero-row blocks carry empty schemas
+                ]
+                if sv_tabs:
+                    svt = pa.concat_tables(sv_tabs)
+                    sv_keys = svt["k1"].combine_chunks().to_numpy()
+                    sv_keys2 = svt["k2"].combine_chunks().to_numpy()
+                    sv_ids = svt["docid"].combine_chunks().to_numpy()
+                else:
+                    sv_keys = sv_keys2 = np.empty(0, np.uint64)
+                    sv_ids = np.empty(0, np.int64)
+                order2 = np.argsort(sv_keys)
+                lut_ref = ray.put(
+                    (sv_keys[order2], sv_keys2[order2], sv_ids[order2])
+                )
         wall["dedup"] = time.perf_counter() - t1
         t1 = time.perf_counter()
 
-        if broadcast:
+        if broadcast or lut_ref is not None:
 
             def attach_ids(batch: pa.Table) -> pa.Table:
                 from searchengine_ray.functions import htmlx as _hx

@@ -600,7 +600,14 @@ def _emit_pairs_group(group: pa.Table, id_col: str) -> pa.Table:
         return pa.table(
             {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         )
-    ids = np.sort(group[id_col].to_numpy())
+    # unique (not just sort): a salted-bucket collision could land the
+    # same id in one bucket twice; a degenerate (a, a) pair must not reach
+    # the verify (self-similarity always passes)
+    ids = np.unique(group[id_col].to_numpy())
+    if ids.size < 2:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
     i, j = np.triu_indices(ids.size, k=1)
     return pa.table(
         {"a": pa.array(ids[i], pa.int64()), "b": pa.array(ids[j], pa.int64())}
@@ -951,6 +958,18 @@ def minhash_prune(
         docs.map_batches(sig_rows, batch_format="pyarrow").materialize()
     )
 
+    # per-band salt folds the band index into ONE 63-bit bucket key (half
+    # the shuffle bytes of (band, band_hash) columns); a cross-band salt
+    # collision can only ADD a candidate pair, which the exact verify
+    # rejects — recall stays exactly 1 by the pigeonhole bound above
+    band_salt = np.array(
+        [
+            hashing.crc64(f"mh-band-{t}".encode()) & _MH_MASK63
+            for t in range(bands)
+        ],
+        dtype=np.uint64,
+    )
+
     def band_rows(batch: pa.Table) -> pa.Table:
         """Vectorized band hashing over the whole batch (no per-doc loop)."""
         ids = _acol(batch, "id").to_numpy()
@@ -959,8 +978,7 @@ def minhash_prune(
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
-                    "band": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
                 }
             )
         sig = _fixed_blob_matrix(batch["pay"], np.uint64)
@@ -969,20 +987,21 @@ def minhash_prune(
             bh = (cube * _MH_BAND_MIX[None, None, :rows_per_band]).sum(
                 axis=2, dtype=np.uint64
             )
-        bh &= np.uint64(0x7FFFFFFFFFFFFFFF)
+        bh = (bh ^ band_salt[None, :]) & np.uint64(0x7FFFFFFFFFFFFFFF)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
-                "band": pa.array(
-                    np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
-                ),
-                "band_hash": pa.array(bh.ravel().astype(np.int64), pa.int64()),
+                "bucket": pa.array(bh.ravel().astype(np.int64), pa.int64()),
             }
         )
 
+    # singleton buckets (the overwhelming majority) can't emit a pair —
+    # filter them with a vectorized count before the per-group Python runs
     cand = (
-        sig_ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
+        _colliding_key_rows(
+            sig_ds.map_batches(band_rows, batch_format="pyarrow"), "bucket"
+        )
+        .groupby("bucket")
         .map_groups(lambda g: _emit_pairs_group(g, "doc_id"), batch_format="pyarrow")
     )
 
@@ -1047,35 +1066,36 @@ def clean_corpus(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
 
-    def mark_winner(group: pa.Table) -> pa.Table:
-        ids = _acol(group, "doc_id").to_numpy()
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "is_winner": pa.array(ids == ids.min()),
-            }
-        )
-
-    marks = (
-        base.map_batches(
-            lambda t: _where(t, "keep", True).select(["h", "doc_id"]),
-            batch_format="pyarrow",
-        )
-        .groupby("h")
-        .map_groups(mark_winner, batch_format="pyarrow")
-        .materialize()
-    )
-    exact_dup = marks.map_batches(
-        lambda t: status_rows(_where(t, "is_winner", False), "exact_dup"),
+    nparts = _join_parts()
+    keeps = base.map_batches(
+        lambda t: _where(t, "keep", True).select(["h", "doc_id"]),
         batch_format="pyarrow",
     )
-
-    nparts = _join_parts()
-    surv_docs = docs.join(
-        marks.map_batches(
-            lambda t: _where(t, "is_winner", True).select(["doc_id"]),
+    # winner per distinct text = min doc_id per md5 key — a vectorized C
+    # aggregate, NOT groupby(h).map_groups (one Python call per distinct
+    # text: the same per-group trap removed from stages/dedup.py this
+    # round).  Losers/survivors then split with anti/semi joins on the
+    # globally unique doc_id.
+    wins = (
+        keeps.groupby("h")
+        .min("doc_id")
+        .map_batches(
+            lambda t: pa.table(
+                {"doc_id": pc.cast(t["min(doc_id)"], pa.int64())}
+            ),
             batch_format="pyarrow",
-        ),
+        )
+        .materialize()
+    )
+    exact_dup = (
+        keeps.select_columns(["doc_id"])
+        .join(wins, join_type="left_anti", num_partitions=nparts, on=("doc_id",))
+        .map_batches(
+            lambda t: status_rows(t, "exact_dup"), batch_format="pyarrow"
+        )
+    )
+    surv_docs = docs.join(
+        wins,
         join_type="left_semi",
         num_partitions=nparts,
         on=("doc_id",),
@@ -1634,8 +1654,12 @@ def embedding_neardup(
             }
         )
 
+    # singleton hyperplane buckets can't emit a pair — vectorized count
+    # filter before the per-group Python (same shape as minhash_dedup)
     cand = (
-        vec_ds.map_batches(keys, batch_format="pyarrow")
+        _colliding_key_rows(
+            vec_ds.map_batches(keys, batch_format="pyarrow"), "key"
+        )
         .groupby("key")
         .map_groups(lambda g: _emit_pairs_group(g, "vec_id"), batch_format="pyarrow")
     )

@@ -56,25 +56,190 @@ def _min_docid_winners(
     Scale note: the previous ``groupby(col).map_groups(keep_min)`` form
     invoked Python once per group — measured ~3.3M calls per pass at the
     ×768 bench corpus (3.84M pages), turning a seconds-sized stage into
-    tens of minutes.  This form is one aggregate shuffle + one hash join
-    over the narrow key table, both vectorized end to end."""
+    tens of minutes.  This form is one aggregate shuffle over the narrow
+    key table plus the broadcast-or-join docid filter-back, all
+    vectorized end to end."""
     mins = (
         ds.groupby(col)
         .min("docid")
         .map_batches(
-            lambda t, c=col: pa.table({c: t[c], "docid": t["min(docid)"]}),
+            lambda t: pa.table({"docid": pc.cast(t["min(docid)"], pa.int64())}),
             batch_format="pyarrow",
         )
         .materialize()
     )
     n_groups = mins.count()
-    winners = ds.join(
-        mins,
-        join_type="inner",
+    return _filter_by_docids(ds, mins, num_partitions), n_groups
+
+
+# winner-docid broadcast cap for the D2 filter-back (8 B/docid ⇒ 240 MB);
+# above it the filter becomes a hash semi-join on docid
+D2_BROADCAST_DOCIDS = 30_000_000
+
+
+def _filter_by_docids(
+    ds: ray.data.Dataset, wins: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Keep ``ds`` rows whose docid appears in ``wins`` (a materialized
+    single-column docid dataset).  Below ``D2_BROADCAST_DOCIDS`` the winner
+    set broadcasts as one sorted int64 array (searchsorted membership —
+    no shuffle, and immune to the schema-less empty blocks Ray aggregates
+    emit on sparse partitions); above it, a hash semi-join on docid."""
+    if wins.count() <= D2_BROADCAST_DOCIDS:
+        tabs = [t for t in ray.get(wins.to_arrow_refs()) if t.num_rows]
+        w = (
+            np.sort(pa.concat_tables(tabs)["docid"].to_numpy())
+            if tabs
+            else np.empty(0, np.int64)
+        )
+        w_ref = ray.put(w)
+
+        def keep(b: pa.Table) -> pa.Table:
+            ww = ray.get(w_ref)
+            if ww.size == 0:
+                return b.slice(0, 0)
+            docids = b["docid"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ww, docids), ww.size - 1)
+            return b.filter(pa.array(ww[pos] == docids))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    return ds.join(
+        wins,
+        join_type="left_semi",
         num_partitions=num_partitions,
-        on=(col, "docid"),
+        on=("docid",),
     )
-    return winners, n_groups
+
+
+def dedup_sorted(
+    keys: ray.data.Dataset, num_partitions: int = 16
+) -> tuple[ray.data.Dataset, dict]:
+    """D1 ∘ D2 over a CANONICALLY SORTED key table — the zero-shuffle D1.
+
+    ``build_index`` sorts keys by (defrag_url, url, warc_ts) and assigns
+    monotone docids, so equal defrag_urls are globally contiguous and
+    docid order == sort order.  D1 (min docid per defrag_url) therefore
+    needs NO exchange at all:
+
+    1. a narrow summary pass (defrag_url/empty/docid columns only,
+       ``batch_size=None`` ⇒ one batch per materialized block) records per
+       block: row/empty counts, the first/last non-empty defrag_url and
+       the first non-empty docid;
+    2. an O(blocks) driver stitch finds blocks whose first non-empty run
+       CONTINUES the previous block's last run (possibly across all-empty
+       blocks) — those blocks' first run-start rows are not true group
+       starts; their docids form a ≤ num_blocks drop list;
+    3. a second pass emits each block's run-start rows (vectorized
+       first-of-run over the non-empty subsequence, exactly the driver
+       path's kernel) minus the broadcast drop list.
+
+    Both passes use ``batch_size=None`` over the SAME materialized dataset
+    so they observe identical block boundaries — the stitch's correctness
+    depends on that invariant.
+
+    D2 (min docid per exact_hash among D1 survivors) does need a global
+    exchange, but only of (exact_hash, docid) pairs (24 B/row): a
+    vectorized min aggregate produces the winner docid set, which filters
+    D1 back by broadcast (sorted int64 searchsorted) below
+    ``D2_BROADCAST_DOCIDS`` and by hash semi-join above.
+
+    Returns (survivors, stats) with stats keys n_rows / n_empty /
+    d1_count / d2_count.  Replaces ~170 s of CPU-count-independent
+    aggregate+join wall measured at the ×768 bench corpus with
+    two narrow map passes + one 24 B/row aggregate.
+    """
+    keys = keys.materialize()
+
+    def block_summary(b: pa.Table) -> pa.Table:
+        empty = b["empty"].to_numpy(zero_copy_only=False)
+        docid = b["docid"].to_numpy(zero_copy_only=False)
+        nz = np.flatnonzero(~empty)
+        if nz.size:
+            url0 = b["defrag_url"][int(nz[0])].as_py()
+            url1 = b["defrag_url"][int(nz[-1])].as_py()
+            first_docid = int(docid[nz[0]])
+        else:
+            url0 = url1 = None
+            first_docid = -1
+        return pa.table(
+            {
+                "min_docid": pa.array([int(docid[0]) if docid.size else -1], pa.int64()),
+                "n_rows": pa.array([b.num_rows], pa.int64()),
+                "n_empty": pa.array([int(empty.sum())], pa.int64()),
+                "first_nonempty_docid": pa.array([first_docid], pa.int64()),
+                "first_url": pa.array([url0], pa.string()),
+                "last_url": pa.array([url1], pa.string()),
+            }
+        )
+
+    summaries = sorted(
+        keys.select_columns(["docid", "defrag_url", "empty"])
+        .map_batches(block_summary, batch_size=None, batch_format="pyarrow")
+        .take_all(),
+        key=lambda s: s["min_docid"],
+    )
+    n_rows = int(sum(s["n_rows"] for s in summaries))
+    n_empty = int(sum(s["n_empty"] for s in summaries))
+    drop: list[int] = []
+    prev_last_url = None  # carries across all-empty blocks
+    for s in summaries:
+        if s["first_url"] is None:
+            continue
+        if s["first_url"] == prev_last_url:
+            drop.append(s["first_nonempty_docid"])
+        prev_last_url = s["last_url"]
+    drop_arr = np.sort(np.array(drop, dtype=np.int64))
+    drop_ref = ray.put(drop_arr)
+
+    def run_starts(b: pa.Table) -> pa.Table:
+        empty = b["empty"].to_numpy(zero_copy_only=False)
+        nz = np.flatnonzero(~empty)
+        if nz.size == 0:
+            return b.slice(0, 0)
+        take_nz = pa.array(nz, pa.int64())
+        col = b["defrag_url"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        url_nz = col.take(take_nz)  # plain Array: slices stay chunk-free
+        first = np.ones(nz.size, dtype=bool)
+        if nz.size > 1:
+            first[1:] = pc.not_equal(
+                url_nz.slice(1), url_nz.slice(0, nz.size - 1)
+            ).to_numpy(zero_copy_only=False)
+        idx = nz[first]
+        t = b.take(pa.array(idx, pa.int64()))
+        d = ray.get(drop_ref)
+        if d.size:
+            docids = t["docid"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(d, docids)
+            pos_c = np.minimum(pos, d.size - 1)
+            t = t.filter(pa.array(d[pos_c] != docids))
+        return t
+
+    d1 = keys.map_batches(
+        run_starts, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+    d1_count = d1.count()
+
+    mins = (
+        d1.select_columns(["exact_hash", "docid"])
+        .groupby("exact_hash")
+        .min("docid")
+        .map_batches(
+            lambda t: pa.table({"docid": pc.cast(t["min(docid)"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    d2_count = mins.count()
+    survivors = _filter_by_docids(d1, mins, num_partitions)
+    stats = {
+        "n_rows": n_rows,
+        "n_empty": n_empty,
+        "d1_count": d1_count,
+        "d2_count": d2_count,
+    }
+    return survivors, stats
 
 
 def dedup_url_exact(

@@ -47,6 +47,109 @@ def test_join_path_matches_broadcast_path(ray_session, tmp_path):
     assert e1 == e2
 
 
+def test_lut_attach_path_matches_broadcast_path(ray_session, tmp_path):
+    """Mid tier: input rows above the broadcast threshold (distributed
+    dedup_sorted) but survivors below it (LUT attach, html never joins) —
+    must equal the full-broadcast build."""
+    table = synthesize_pages(N)
+    ds = ray.data.from_arrow(table).repartition(4)
+
+    cfg_mid = params.BuildConfig(broadcast_threshold=150)  # < N, > survivors
+    r_mid = build_index(ds, str(tmp_path / "mid"), cfg_mid)
+    r_bc = build_index(ds, str(tmp_path / "bc"), params.BuildConfig())
+
+    assert r_mid.num_docs == r_bc.num_docs
+    assert (r_mid.pruned_empty, r_mid.pruned_url, r_mid.pruned_exact) == (
+        r_bc.pruned_empty,
+        r_bc.pruned_url,
+        r_bc.pruned_exact,
+    )
+    d1 = pq.read_table(r_mid.docs_dir).sort_by("docid")
+    d2 = pq.read_table(r_bc.docs_dir).sort_by("docid")
+    assert d1["docid"].to_pylist() == d2["docid"].to_pylist()
+    assert d1["url"].to_pylist() == d2["url"].to_pylist()
+    assert _postings_map(r_mid.segments_dir) == _postings_map(r_bc.segments_dir)
+
+
+def test_dedup_sorted_boundary_stitch(ray_session):
+    """dedup_sorted must equal dedup_url_exact on a multi-block key table
+    whose url runs SPAN block boundaries (including across an all-empty
+    block) — the adversarial case for the O(blocks) driver stitch."""
+    import pyarrow as pa
+
+    def keys_table(rows):
+        return pa.table(
+            {
+                "docid": pa.array([r[0] for r in rows], pa.int64()),
+                "defrag_url": pa.array([r[1] for r in rows], pa.string()),
+                "empty": pa.array([r[2] for r in rows], pa.bool_()),
+                "exact_hash": pa.array([r[3] for r in rows], pa.binary()),
+            }
+        )
+
+    # canonical order: sorted by defrag_url, docid monotone; blocks split
+    # mid-run on purpose (url "b" spans blocks 0-2 across an all-empty
+    # block; url "d" spans blocks 2-3; hash h1 duplicates across urls)
+    blocks = [
+        keys_table(
+            [
+                (0, "a", False, b"h0000000"),
+                (1, "a", False, b"h0000000"),  # D1 prunes (same url)
+                (2, "b", False, b"h1111111"),
+            ]
+        ),
+        keys_table([(3, "b", True, b""), (4, "b", True, b"")]),  # all-empty
+        keys_table(
+            [
+                (5, "b", False, b"h2222222"),  # D1 prunes: run continues
+                (6, "c", False, b"h2222222"),
+                (7, "d", False, b"h1111111"),  # D2 prunes vs docid 2
+            ]
+        ),
+        keys_table([(8, "d", False, b"h3333333"), (9, "e", False, b"h4444444")]),
+    ]
+    ds = ray.data.from_arrow(blocks)
+
+    got, stats = dedup.dedup_sorted(ds, num_partitions=2)
+    got_ids = sorted(r["docid"] for r in got.take_all())
+    want = dedup.dedup_url_exact(ds, num_partitions=2)[0]
+    want_ids = sorted(r["docid"] for r in want.take_all())
+    assert got_ids == want_ids
+    # by hand: D1 = min docid per url = {a:0, b:2, c:6, d:7, e:9} — both
+    # boundary-spanning runs (5 via the empty block, 8 via block 3) prune;
+    # D2 drops 7 (h1 lost to docid 2), keeps 6 (h2's min among D1 rows)
+    assert got_ids == [0, 2, 6, 9]
+    assert stats["n_rows"] == 10
+    assert stats["n_empty"] == 2
+    assert stats["d1_count"] == 5
+    assert stats["d2_count"] == 4
+
+
+def test_dedup_sorted_d2_join_path(ray_session, monkeypatch):
+    """Force the D2 semi-join fallback (winner set above the broadcast
+    cap) and check it equals the broadcast filter-back."""
+    import pyarrow as pa
+
+    rows = [
+        (i, f"u{i:03d}", False, f"h{i % 7:07d}".encode()) for i in range(40)
+    ]
+    t = pa.table(
+        {
+            "docid": pa.array([r[0] for r in rows], pa.int64()),
+            "defrag_url": pa.array([r[1] for r in rows], pa.string()),
+            "empty": pa.array([r[2] for r in rows], pa.bool_()),
+            "exact_hash": pa.array([r[3] for r in rows], pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    bc, _ = dedup.dedup_sorted(ds, num_partitions=2)
+    bc_ids = sorted(r["docid"] for r in bc.take_all())
+    monkeypatch.setattr(dedup, "D2_BROADCAST_DOCIDS", 0)
+    jn, _ = dedup.dedup_sorted(ds, num_partitions=2)
+    jn_ids = sorted(r["docid"] for r in jn.take_all())
+    assert bc_ids == jn_ids == list(range(7))
+
+
 def test_lsh_neardup_superset_of_window_pairs(ray_session, tmp_path):
     """LSH mode must prune the fixture's planted near-dup (docids adjacent)
     and every window-mode prune whose duplicate partner survived (the
