@@ -48,13 +48,21 @@ def _prepare_pages(sf_dir: str, replicas: int) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     os.makedirs(SCRATCH, exist_ok=True)
-    out = f"{SCRATCH}/bench_pages_{tag}_x{replicas}"
+    # file count bounds read parallelism for every leg that consumes the
+    # corpus: the first ×768 runs cached 17 files, which capped the
+    # 32-CPU legs' ReadParquet at 17 concurrent tasks and showed up as
+    # ~40 s of CPU-count-independent extract wall.  256 files keeps any
+    # leg ≤ 256 CPUs read-parallel.
+    n_files = 256
+    out = f"{SCRATCH}/bench_pages_{tag}_x{replicas}_p{n_files}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     if os.path.exists(out):
         shutil.rmtree(out)
     os.makedirs(out)
-    pages_dataset_from_documents(sf_dir, replicas).write_parquet(out)
+    pages_dataset_from_documents(sf_dir, replicas).repartition(
+        n_files
+    ).write_parquet(out)
     with open(os.path.join(out, "_DONE"), "w") as f:
         f.write("ok")
     return out

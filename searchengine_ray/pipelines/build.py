@@ -503,7 +503,9 @@ def build_index(
         # driver distinct-merge path (fastest at ≤2^32 distinct values):
         # the threshold table prunes extracted in the SAME pass that
         # materializes the survivors — no separate pruned-docid execution
+        t_thr = time.perf_counter()
         thr_tab = dedup.lsh_threshold_arrays(extracted)
+        wall["neardup_thr"] = time.perf_counter() - t_thr
         if thr_tab is None:
             pruned_arr = np.empty(0, dtype=np.int64)
         else:
@@ -516,10 +518,12 @@ def build_index(
                 pos = np.minimum(np.searchsorted(sv_t, sims), sv_t.size - 1)
                 return batch.filter(pa.array(docids <= thr_t[pos]))
 
+            t_mat = time.perf_counter()
             survivors_ex = extracted.map_batches(
                 keep_below_thr, batch_format="pyarrow"
             ).materialize()
             pruned_neardup = num_surv - survivors_ex.count()
+            wall["neardup_mat"] = time.perf_counter() - t_mat
     elif near_dup_mode == "lsh":
         # O(1)-driver shuffle path — auto-selected above
         # AUTO_DISTRIBUTED_THRESHOLD survivors (where the driver
