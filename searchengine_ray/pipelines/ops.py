@@ -1709,15 +1709,167 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Gap-based sessionization — the stateful windowed operator Ray Data
-    lacks natively, expressed as groupby(user).map_groups with an in-group
-    sort (SURVEY.md custom-operator recipe (a)).  A session breaks when the
-    gap to the previous event exceeds ``gap_minutes``.  Returns one row per
-    session: (user_id, session_id (1-based per user), n_events) — ints only
-    so the DuckDB window-function oracle compares exactly.
+    lacks natively — as a SORTED TWO-PASS with an O(blocks) boundary
+    stitch (the same pattern as ``dedup.dedup_sorted``; SURVEY.md
+    custom-operator recipe (a)).  A session breaks when the gap to the
+    previous event exceeds ``gap_minutes``.  Returns one row per session:
+    (user_id, session_id (1-based per user), n_events) — ints only so the
+    DuckDB window-function oracle compares exactly.
 
-    Partitioning assumption: one user's events fit one group (true unless a
-    single user exceeds block scale; salt by day then merge if so).
-    """
+    Plan: one global sort by (user_id, ts, event_id); a narrow summary
+    pass records each block's boundary rows and boundary-user session
+    counts; the driver walks blocks in order carrying (open user,
+    last ts, session count) and broadcasts a per-block (offset, merged)
+    table keyed by the block's first event_id; the emit pass renumbers
+    sessions vectorized and a final (user, session) sum aggregate merges
+    the ≤1 block-spanning session per boundary.  No per-group Python —
+    the previous groupby(user).map_groups form
+    (:func:`events_sessionize_grouped`, kept as the equality reference)
+    pays one Python call per user, the trap the ×768 scaling runs
+    exposed in D1/D2."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _seg(b: pa.Table):
+        """Shared block-local segmentation: sorted rows → (u, ts, eid,
+        breaks, sess) numpy views."""
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            b["ts"].combine_chunks()
+            if isinstance(b["ts"], pa.ChunkedArray)
+            else b["ts"]
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        n = u.size
+        breaks = np.ones(n, dtype=np.int64)
+        if n > 1:
+            breaks[1:] = (
+                (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+            ).astype(np.int64)
+        return u, ts, eid, breaks, np.cumsum(breaks)
+
+    def summary(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "first_eid": pa.array([], pa.int64()),
+                    "first_user": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.int64()),
+                    "last_user": pa.array([], pa.int64()),
+                    "last_ts": pa.array([], pa.int64()),
+                    "n_sess_first": pa.array([], pa.int64()),
+                    "n_sess_last": pa.array([], pa.int64()),
+                }
+            )
+        u, ts, eid, breaks, _ = _seg(b)
+        end_first = np.searchsorted(u, u[0], side="right")
+        start_last = np.searchsorted(u, u[-1], side="left")
+        return pa.table(
+            {
+                "first_eid": pa.array([int(eid[0])], pa.int64()),
+                "first_user": pa.array([int(u[0])], pa.int64()),
+                "first_ts": pa.array([int(ts[0])], pa.int64()),
+                "last_user": pa.array([int(u[-1])], pa.int64()),
+                "last_ts": pa.array([int(ts[-1])], pa.int64()),
+                "n_sess_first": pa.array(
+                    [int(breaks[:end_first].sum())], pa.int64()
+                ),
+                "n_sess_last": pa.array(
+                    [int(breaks[start_last:].sum())], pa.int64()
+                ),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        .sort(["user_id", "ts", "event_id"])
+        .materialize()
+    )
+    summaries = sorted(
+        ds.map_batches(
+            summary, batch_size=None, batch_format="pyarrow"
+        ).take_all(),
+        key=lambda s: (s["first_user"], s["first_ts"], s["first_eid"]),
+    )
+
+    # O(blocks) driver stitch: global session offset + merge flag for each
+    # block's FIRST user; every other user in a block starts fresh (sorted
+    # order makes a user's rows contiguous across blocks)
+    stitch: dict[int, tuple[int, int]] = {}
+    open_user = open_ts = None
+    open_count = 0
+    for s in summaries:
+        if s["first_user"] == open_user:
+            merged = int(s["first_ts"] - open_ts <= gap_us)
+            offset = open_count - merged
+        else:
+            merged, offset = 0, 0
+        stitch[s["first_eid"]] = (offset, merged)
+        if s["last_user"] == s["first_user"]:
+            open_count = offset + s["n_sess_first"]
+        else:
+            open_count = s["n_sess_last"]
+        open_user, open_ts = s["last_user"], s["last_ts"]
+    stitch_ref = ray.put(stitch)
+
+    def emit(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        u, ts, eid, breaks, sess = _seg(b)
+        n = u.size
+        # per-user local session ids: sess minus the sess value at the
+        # user's first row, +1 (vectorized run-base propagation)
+        user_start = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            user_start[1:] = (u[1:] != u[:-1]).astype(np.int64) * np.arange(
+                1, n, dtype=np.int64
+            )
+        start_ix = np.maximum.accumulate(user_start)
+        local_id = sess - sess[start_ix] + 1
+        off, merged = ray.get(stitch_ref)[int(eid[0])]
+        gid = local_id + np.where(u == u[0], off, 0)
+        # rows are sorted, so (user, session) runs are contiguous —
+        # run-length encode instead of a sort-based unique
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            change[1:] = (u[1:] != u[:-1]) | (gid[1:] != gid[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_id": pa.array(gid[starts], pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(emit, batch_size=None, batch_format="pyarrow")
+    out = partial.groupby(["user_id", "session_id"]).sum("n_events")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "session_id": pc.cast(t["session_id"], pa.int64()),
+                "n_events": pc.cast(t["sum(n_events)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_sessionize_grouped(
+    sf_dir: str, gap_minutes: int = 30
+) -> ray.data.Dataset:
+    """The groupby(user).map_groups form of :func:`events_sessionize`,
+    kept as the small-scale equality reference (one Python call per user —
+    fine at fixture scale, the per-group trap at 10^9 users)."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def sessions(group: pa.Table) -> pa.Table:

@@ -236,6 +236,73 @@ def test_language_id_trigram(entry, ray_session):
     assert en > len(rows) * 0.5
 
 
+def test_sessionize_sorted_equals_grouped(entry, ray_session):
+    """The sorted two-pass sessionize (boundary stitch) must equal the
+    per-group reference on the fixture."""
+    from searchengine_ray.pipelines import ops
+
+    a = sorted(
+        (r["user_id"], r["session_id"], r["n_events"])
+        for r in ops.events_sessionize(SF).take_all()
+    )
+    b = sorted(
+        (r["user_id"], r["session_id"], r["n_events"])
+        for r in ops.events_sessionize_grouped(SF).take_all()
+    )
+    assert a == b
+    assert len(a) > 100
+
+
+def test_sessionize_sorted_multiblock(entry, ray_session, tmp_path):
+    """Force many tiny sorted blocks so user runs AND sessions span block
+    boundaries — the adversarial case for the stitch — and compare with
+    the per-group reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000  # µs epoch
+    for user in range(6):
+        t = base + user * 10**9
+        for _ in range(400):
+            # mix sub-gap and super-gap steps so sessions break mid-run
+            t += int(rng.choice([60, 600, 2400, 3600]) * 1e6)
+            rows.append({"user_id": user, "ts": t, "event_id": eid})
+            eid += 1
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        t["ts"].cast(pa.timestamp("us")),
+    )
+    pq.write_table(t, d / "events.parquet")
+
+    from ray.data import DataContext
+    from searchengine_ray.pipelines import ops
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 4096  # ~tens of rows per sorted block
+        a = sorted(
+            (r["user_id"], r["session_id"], r["n_events"])
+            for r in ops.events_sessionize(str(d), gap_minutes=30).take_all()
+        )
+    finally:
+        ctx.target_max_block_size = old
+    b = sorted(
+        (r["user_id"], r["session_id"], r["n_events"])
+        for r in ops.events_sessionize_grouped(str(d), gap_minutes=30).take_all()
+    )
+    assert a == b
+    assert len(a) > 50  # sessions actually broke
+
+
 def test_repetition_stats_flags_planted_spam(entry, ray_session, tmp_path):
     """A doc that repeats one line 50× must fail the duplicate-line gates;
     a doc dominated by one bigram must fail the bigram gate; normal prose
