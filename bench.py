@@ -53,7 +53,7 @@ def _prepare_pages(sf_dir: str, replicas: int) -> str:
     # 32-CPU legs' ReadParquet at 17 concurrent tasks and showed up as
     # ~40 s of CPU-count-independent extract wall.  256 files keeps any
     # leg ≤ 256 CPUs read-parallel.
-    n_files = 256
+    n_files = min(256, max(16, replicas))
     out = f"{SCRATCH}/bench_pages_{tag}_x{replicas}_p{n_files}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
