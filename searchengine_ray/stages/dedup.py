@@ -221,18 +221,63 @@ def dedup_sorted(
     ).materialize()
     d1_count = d1.count()
 
-    mins = (
-        d1.select_columns(["exact_hash", "docid"])
-        .groupby("exact_hash")
-        .min("docid")
-        .map_batches(
-            lambda t: pa.table({"docid": pc.cast(t["min(docid)"], pa.int64())}),
-            batch_format="pyarrow",
+    # D2: min docid per 8-byte exact_hash.  Map-side partial (pyarrow C
+    # group_by within each block) first; below the driver-merge cap the
+    # partials merge on the driver with one numpy unique pass (the Ray
+    # groupby is a full sort exchange — measured 35 s of the 39 s dedup
+    # wall at the ×768/32-CPU bench for 3.84M near-unique keys, vs <2 s
+    # for partial+merge).  Above the cap, the distributed aggregate.
+    def block_min_hash(b: pa.Table) -> pa.Table:
+        g = b.select(["exact_hash", "docid"]).group_by("exact_hash").aggregate(
+            [("docid", "min")]
         )
-        .materialize()
-    )
-    d2_count = mins.count()
-    survivors = _filter_by_docids(d1, mins, num_partitions)
+        return pa.table(
+            {"exact_hash": g["exact_hash"], "docid": g["docid_min"]}
+        )
+
+    parts = d1.select_columns(["exact_hash", "docid"]).map_batches(
+        block_min_hash, batch_format="pyarrow"
+    ).materialize()
+    if parts.count() <= D2_BROADCAST_DOCIDS:
+        tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            mt = pa.concat_tables(tabs).combine_chunks()
+            fixed = mt["exact_hash"].combine_chunks().cast(pa.binary(8))
+            h64 = np.frombuffer(fixed.buffers()[1], dtype=np.uint64)[
+                fixed.offset : fixed.offset + len(fixed)
+            ]
+            docids = mt["docid"].to_numpy(zero_copy_only=False)
+            order = np.argsort(docids, kind="stable")
+            _, first = np.unique(h64[order], return_index=True)
+            wins_arr = np.sort(docids[order][first])
+        else:
+            wins_arr = np.empty(0, np.int64)
+        d2_count = int(wins_arr.size)
+        w_ref = ray.put(wins_arr)
+
+        def keep(b: pa.Table) -> pa.Table:
+            ww = ray.get(w_ref)
+            if ww.size == 0:
+                return b.slice(0, 0)
+            ids = b["docid"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ww, ids), ww.size - 1)
+            return b.filter(pa.array(ww[pos] == ids))
+
+        survivors = d1.map_batches(keep, batch_format="pyarrow")
+    else:
+        mins = (
+            parts.groupby("exact_hash")
+            .min("docid")
+            .map_batches(
+                lambda t: pa.table(
+                    {"docid": pc.cast(t["min(docid)"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        d2_count = mins.count()
+        survivors = _filter_by_docids(d1, mins, num_partitions)
     stats = {
         "n_rows": n_rows,
         "n_empty": n_empty,
