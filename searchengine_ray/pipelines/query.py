@@ -77,14 +77,28 @@ class QueryEngine:
         self.pr[ids] = docs["pr_quality"].to_numpy()
         self.hub[ids] = docs["hub_quality"].to_numpy()
         self.auth[ids] = docs["auth_quality"].to_numpy()
-        self.urls: dict[int, str] = dict(
-            zip(ids.tolist(), docs["url"].to_pylist())
+        # urls stay an Arrow column + a sorted docid array; top-k hits
+        # (k ≤ 20) resolve by searchsorted at result-format time.  A
+        # docid→str Python dict would cost GBs of Python objects per actor
+        # at 10^8+ docs (VERDICT r4 next#6).
+        url_order = np.argsort(ids, kind="stable")
+        self._url_docids = ids[url_order]
+        self._url_col = docs["url"].combine_chunks().take(
+            pa.array(url_order)
         )
         self.segments_dir = os.path.join(index_dir, "segments")
         # per-bucket seek tables: [(ParquetFile, rg min terms, rg max terms)]
         self._seg_seek: dict[int, list] = {}
         self._cache: OrderedDict[str, tuple | None] = OrderedDict()
         self._cache_size = cache_size
+
+    def _url(self, docid: int) -> str:
+        """Resolve one docid's url by searchsorted into the sorted docid
+        array (called only for final top-k hits, k ≤ 20)."""
+        pos = int(np.searchsorted(self._url_docids, docid))
+        if pos < self._url_docids.size and int(self._url_docids[pos]) == docid:
+            return self._url_col[pos].as_py()
+        return ""
 
     # ------------------------------------------------------------ postings
 
@@ -287,7 +301,7 @@ class QueryEngine:
         order = np.lexsort((cand, -net))
         if k is not None:
             order = order[:k]
-        return [(int(cand[i]), float(net[i]), self.urls.get(int(cand[i]), "")) for i in order]
+        return [(int(cand[i]), float(net[i]), self._url(int(cand[i]))) for i in order]
 
     # ------------------------------------------------------------ BM25 mode
 
@@ -361,7 +375,7 @@ class QueryEngine:
 
         order = np.lexsort((cand_all, -scores))[:k]
         return [
-            (int(cand_all[i]), float(scores[i]), self.urls.get(int(cand_all[i]), ""))
+            (int(cand_all[i]), float(scores[i]), self._url(int(cand_all[i])))
             for i in order
         ]
 
