@@ -348,7 +348,9 @@ def build_index(
                 sv_tabs = [
                     t
                     for t in ray.get(
-                        survivors.select_columns(["k1", "k2", "docid"])
+                        survivors.select_columns(
+                            ["k1", "k2", "docid", "defrag_url"]
+                        )
                         .materialize()
                         .to_arrow_refs()
                     )
@@ -359,12 +361,23 @@ def build_index(
                     sv_keys = svt["k1"].combine_chunks().to_numpy()
                     sv_keys2 = svt["k2"].combine_chunks().to_numpy()
                     sv_ids = svt["docid"].combine_chunks().to_numpy()
+                    sv_dfr = svt["defrag_url"].combine_chunks()
                 else:
                     sv_keys = sv_keys2 = np.empty(0, np.uint64)
                     sv_ids = np.empty(0, np.int64)
+                    sv_dfr = pa.array([], pa.string())
                 order2 = np.argsort(sv_keys)
+                # defrag_url rides the LUT (already computed by the keys
+                # pass) so attach_ids never re-runs defrag() per row in
+                # Python (VERDICT r4 next#2a); ≤2M survivors gate bounds
+                # the broadcast at ~100s of MB worst case, put() once.
                 lut_ref = ray.put(
-                    (sv_keys[order2], sv_keys2[order2], sv_ids[order2])
+                    (
+                        sv_keys[order2],
+                        sv_keys2[order2],
+                        sv_ids[order2],
+                        sv_dfr.take(pa.array(order2)),
+                    )
                 )
         wall["dedup"] = time.perf_counter() - t1
         t1 = time.perf_counter()
@@ -372,9 +385,9 @@ def build_index(
         if broadcast or lut_ref is not None:
 
             def attach_ids(batch: pa.Table) -> pa.Table:
-                from searchengine_ray.functions import htmlx as _hx
-
-                keys_sorted, keys2_sorted, docids_sorted = ray.get(lut_ref)
+                keys_sorted, keys2_sorted, docids_sorted, dfr_sorted = ray.get(
+                    lut_ref
+                )
                 urls = batch["url"].to_pylist()
                 ts = (
                     batch["warc_ts"].combine_chunks()
@@ -398,11 +411,13 @@ def build_index(
                     keys_sorted, keys2_sorted, bkeys, bkeys2
                 )
                 sub = batch.select(["html"]).take(pa.array(keep, pa.int64()))
-                dfr = [_hx.defrag(urls[i]) for i in keep]
+                hit_pos = pos_c[keep]
                 return pa.table(
                     {
-                        "docid": pa.array(docids_sorted[pos_c[keep]], pa.int64()),
-                        "defrag_url": pa.array(dfr, pa.string()),
+                        "docid": pa.array(docids_sorted[hit_pos], pa.int64()),
+                        "defrag_url": dfr_sorted.take(
+                            pa.array(hit_pos, pa.int64())
+                        ),
                         "html": sub["html"],
                     }
                 )

@@ -418,9 +418,26 @@ def repetition_stats(sf_dir: str) -> ray.data.Dataset:
         n_2grams = np.bincount(bdoc, minlength=n).astype(np.int64)
         max_2gram = np.zeros(n, dtype=np.int64)
         if bdoc.size:
-            bkey = (bdoc * v + tcodes[:-1][adj]) * v + tcodes[1:][adj]
-            ukey, ucnt = np.unique(bkey, return_counts=True)
-            np.maximum.at(max_2gram, ukey // (v * v), ucnt)
+            c1 = tcodes[:-1][adj]
+            c2 = tcodes[1:][adj]
+            if n * v * v < 2**62:
+                bkey = (bdoc * v + c1) * v + c2
+                ukey, ucnt = np.unique(bkey, return_counts=True)
+                np.maximum.at(max_2gram, ukey // (v * v), ucnt)
+            else:
+                # arithmetic packing would wrap int64 (ADVICE r4): dedupe
+                # via lexsorted run detection over the raw triple instead
+                order = np.lexsort((c2, c1, bdoc))
+                b_s, c1_s, c2_s = bdoc[order], c1[order], c2[order]
+                new = np.ones(b_s.size, dtype=bool)
+                new[1:] = (
+                    (b_s[1:] != b_s[:-1])
+                    | (c1_s[1:] != c1_s[:-1])
+                    | (c2_s[1:] != c2_s[:-1])
+                )
+                starts = np.flatnonzero(new)
+                cnts = np.diff(np.append(starts, b_s.size))
+                np.maximum.at(max_2gram, b_s[starts], cnts)
 
         keep = (
             (10 * n_dup_lines <= 3 * n_lines)
@@ -962,9 +979,13 @@ def minhash_prune(
     # the shuffle bytes of (band, band_hash) columns); a cross-band salt
     # collision can only ADD a candidate pair, which the exact verify
     # rejects — recall stays exactly 1 by the pigeonhole bound above
+    # distinct seed namespace from _MH_BAND_MIX ("mh-band-{k}"): reusing
+    # that family would make each salt numerically the band's row-mix
+    # multiplier — a structured correlation between the mix sum and the
+    # salt (ADVICE r4); harmless only because verify is exact
     band_salt = np.array(
         [
-            hashing.crc64(f"mh-band-{t}".encode()) & _MH_MASK63
+            hashing.crc64(f"mh-bandsalt-{t}".encode()) & _MH_MASK63
             for t in range(bands)
         ],
         dtype=np.uint64,

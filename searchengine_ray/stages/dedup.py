@@ -172,12 +172,29 @@ def dedup_sorted(
             }
         )
 
+    # Both passes map over the SAME materialized dataset object with
+    # batch_size=None (one batch per stored block) — a select_columns
+    # projection here is NOT contractually 1:1 on blocks, and a boundary
+    # mismatch would fail silently by missing a drop-list entry (ADVICE
+    # r4: duplicate D1 survivor).  block_summary touches only the three
+    # narrow columns; the unused ones ride the zero-copy block reference.
     summaries = sorted(
-        keys.select_columns(["docid", "defrag_url", "empty"])
-        .map_batches(block_summary, batch_size=None, batch_format="pyarrow")
-        .take_all(),
+        keys.map_batches(
+            block_summary, batch_size=None, batch_format="pyarrow"
+        ).take_all(),
         key=lambda s: s["min_docid"],
     )
+    try:
+        n_blocks = keys.num_blocks()
+    except Exception:
+        n_blocks = None
+    if n_blocks is not None:
+        # tripwire for the block-boundary invariant both passes rely on:
+        # one summary row per stored block
+        assert len(summaries) == n_blocks, (
+            f"dedup_sorted block-summary boundary mismatch: "
+            f"{len(summaries)} summaries != {n_blocks} blocks"
+        )
     n_rows = int(sum(s["n_rows"] for s in summaries))
     n_empty = int(sum(s["n_empty"] for s in summaries))
     drop: list[int] = []
