@@ -224,33 +224,40 @@ def simhash_batch(
     if n == 0:
         return out
     hc = hash_cache or _DEFAULT_WORD_HASHES
-    vocab: dict[str, int] = {}
-    idx: list[int] = []
-    cnt: list[int] = []
+    # flatten all (word, count) pairs at C speed (itertools.chain — the
+    # explicit per-pair Python loop was the profile's hot line), then hash
+    # each pair's word through the memo dict once
+    from itertools import chain
+
+    lens = np.fromiter(
+        (len(wc) for wc in wordcnts_list), dtype=np.int64, count=n
+    )
+    total = int(lens.sum())
     offsets = np.empty(n + 1, dtype=np.int64)
     offsets[0] = 0
-    for d, wc in enumerate(wordcnts_list):
-        for w, c in wc.items():
-            j = vocab.get(w)
-            if j is None:
-                j = len(vocab)
-                vocab[w] = j
-            idx.append(j)
-            cnt.append(c)
-        offsets[d + 1] = len(idx)
-    if not vocab:
+    np.cumsum(lens, out=offsets[1:])
+    if total == 0:
         return out
-    word_hash = hc.hash64 if bits == 64 else hc.hash32
-    hashes = np.fromiter(
-        (word_hash(w) for w in vocab), dtype=np.uint64, count=len(vocab)
+    all_words = list(chain.from_iterable(wordcnts_list))
+    cnt_arr = np.fromiter(
+        chain.from_iterable(wc.values() for wc in wordcnts_list),
+        dtype=np.int32,  # per-token tf < 2^31; keeps contrib at int32
+        count=total,
     )
+    word_hash = hc.hash64 if bits == 64 else hc.hash32
+    pair_hashes = np.fromiter(
+        (word_hash(w) for w in all_words), dtype=np.uint64, count=total
+    )
+    # dedupe hashes (docs share a Zipfian vocab) so the V×bits sign matrix
+    # is built once per distinct hash, then gather per pair
+    uh, inv = np.unique(pair_hashes, return_inverse=True)
     shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
     signed = (
-        2 * ((hashes[:, None] >> shifts[None, :]) & 1).astype(np.int64) - 1
-    )  # V×bits, MSB-first
-    contrib = signed[np.asarray(idx, dtype=np.int64)] * np.asarray(
-        cnt, dtype=np.int64
-    )[:, None]
+        2 * ((uh[:, None] >> shifts[None, :]) & 1).astype(np.int8) - 1
+    )  # V×bits, MSB-first; int8 halves+ the gather/multiply bandwidth
+    # int8 × int32 → int32: exact while any doc's signed tf sum < 2^31
+    # (tf counts token occurrences in ONE document — far below)
+    contrib = signed[inv] * cnt_arr[:, None]
     nonempty = np.flatnonzero(offsets[1:] > offsets[:-1])
     if nonempty.size:
         # reduceat over non-empty segments only (an empty segment would

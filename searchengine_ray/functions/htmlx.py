@@ -98,6 +98,13 @@ class _NeedsFullParser(Exception):
     pass
 
 
+# scheme://non-empty-authority — the base-independent urljoin fast path
+_ABS_AUTH_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]")
+# (base scheme, href) → defragged absolute url ("" = unparseable, skip);
+# per-process, bounded
+_LINK_MEMO: dict[tuple[str, str], str] = {}
+
+
 def _attrs_href(body: str) -> list[tuple[str, str]]:
     """Sequential attr scan of a start-tag body, returning the first href
     (mirrors HTMLParser's attrfind loop — a 'href=' inside another attr's
@@ -194,13 +201,30 @@ def extract(html: str, base_url: str) -> tuple[str, dict[str, str], list[str]]:
     tag_text = {t: "".join(parts) for t, parts in p.tag_texts.items() if parts}
     links: list[str] = []
     seen: set[str] = set()
+    base_scheme = base_url.partition(":")[0]
     for href in p.hrefs:
+        # For an absolute href with a non-empty authority, urljoin's result
+        # depends only on the href and whether its scheme equals the
+        # base's (equal → re-serialized via urlunsplit; different →
+        # returned verbatim) — never on the base's netloc/path.  Memoizing
+        # on (base scheme, href) is therefore EXACT, and urljoin/urldefrag
+        # are the hot Python calls of link extraction (~0.09 ms/link).
+        memo_key = None
+        if _ABS_AUTH_RE.match(href) is not None:
+            memo_key = (base_scheme, href)
+            defragged = _LINK_MEMO.get(memo_key)
+            if defragged is not None:
+                if defragged and defragged not in seen:
+                    seen.add(defragged)
+                    links.append(defragged)
+                continue
         try:
-            absolute = urljoin(base_url, href)
-            defragged = urldefrag(absolute).url
+            defragged = urldefrag(urljoin(base_url, href)).url
         except ValueError:
-            continue
-        if defragged not in seen:
+            defragged = ""  # memoized as "skip" below
+        if memo_key is not None and len(_LINK_MEMO) < 1_000_000:
+            _LINK_MEMO[memo_key] = defragged
+        if defragged and defragged not in seen:
             seen.add(defragged)
             links.append(defragged)
     return text, tag_text, links

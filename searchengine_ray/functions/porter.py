@@ -40,27 +40,45 @@ def _is_cons(word: str, i: int) -> bool:
 
 
 def _measure(stem: str) -> int:
-    """Number of VC sequences in ``stem`` ([C](VC)^m[V] form)."""
+    """Number of VC sequences in ``stem`` ([C](VC)^m[V] form).
+
+    Single linear pass resolving each char's consonant-ness from the
+    previous char's (the y rule) — equivalent to scanning with
+    :func:`_is_cons` per position, without its per-char call/recursion
+    (this is the stemmer's hottest helper)."""
     m = 0
-    i = 0
-    n = len(stem)
-    # skip initial consonants
-    while i < n and _is_cons(stem, i):
-        i += 1
-    while i < n:
-        # in vowel run
-        while i < n and not _is_cons(stem, i):
-            i += 1
-        if i >= n:
-            break
-        m += 1
-        while i < n and _is_cons(stem, i):
-            i += 1
+    prev_cons = False
+    in_vowel_run = False
+    for i, ch in enumerate(stem):
+        if ch in _VOWELS:
+            cons = False
+        elif ch == "y":
+            cons = i == 0 or not prev_cons
+        else:
+            cons = True
+        if cons:
+            if in_vowel_run:
+                m += 1
+                in_vowel_run = False
+        else:
+            in_vowel_run = True
+        prev_cons = cons
     return m
 
 
 def _has_vowel(stem: str) -> bool:
-    return any(not _is_cons(stem, i) for i in range(len(stem)))
+    prev_cons = False
+    for i, ch in enumerate(stem):
+        if ch in _VOWELS:
+            return True
+        if ch == "y":
+            cons = i == 0 or not prev_cons
+            if not cons:
+                return True
+        else:
+            cons = True
+        prev_cons = cons
+    return False
 
 
 def _ends_double_cons(word: str) -> bool:
@@ -253,15 +271,43 @@ def _apply_first(word: str, rules) -> str:
     return word
 
 
+def _make_dispatch(rules):
+    """Bucket a static rule list by suffix last char (order preserved).
+
+    A word has one last character, so only its bucket's rules can match —
+    trying them in original order is exactly ``_apply_first``'s
+    first-match semantics, minus the dead ``endswith`` scans.  Only valid
+    for lists with no ``"*d"`` / ``""`` special rules."""
+    d: dict[str, list] = {}
+    for r in rules:
+        d.setdefault(r[0][-1], []).append(r)
+    return d
+
+
+def _apply_first_d(word: str, dispatch) -> str:
+    rules = dispatch.get(word[-1]) if word else None
+    if rules is None:
+        return word
+    for suffix, replacement, cond in rules:
+        if word.endswith(suffix):
+            stem_part = word[: len(word) - len(suffix)]
+            if cond is None or cond(stem_part):
+                return stem_part + replacement
+            return word
+    return word
+
+
+_STEP1A_D = _make_dispatch(
+    [("sses", "ss", None), ("ies", "i", None), ("ss", "ss", None), ("s", "", None)]
+)
+
+
 def _nltk_step1a(word: str) -> str:
     # extension: 4-letter "ies" keeps the e (dies->die, ties->tie) while
     # longer words drop it (flies->fli)
     if word.endswith("ies") and len(word) == 4:
         return word[:-3] + "ie"
-    return _apply_first(
-        word,
-        [("sses", "ss", None), ("ies", "i", None), ("ss", "ss", None), ("s", "", None)],
-    )
+    return _apply_first_d(word, _STEP1A_D)
 
 
 def _nltk_step1b(word: str) -> str:
@@ -303,88 +349,94 @@ def _nltk_step1c(word: str) -> str:
     return word
 
 
+_STEP2_D = _make_dispatch(
+    [
+        ("ational", "ate", _pos_measure),
+        ("tional", "tion", _pos_measure),
+        ("enci", "ence", _pos_measure),
+        ("anci", "ance", _pos_measure),
+        ("izer", "ize", _pos_measure),
+        # NLTK uses the paper's later bli->ble variant, not abli->able
+        ("bli", "ble", _pos_measure),
+        ("alli", "al", _pos_measure),
+        ("entli", "ent", _pos_measure),
+        ("eli", "e", _pos_measure),
+        ("ousli", "ous", _pos_measure),
+        ("ization", "ize", _pos_measure),
+        ("ation", "ate", _pos_measure),
+        ("ator", "ate", _pos_measure),
+        ("alism", "al", _pos_measure),
+        ("iveness", "ive", _pos_measure),
+        ("fulness", "ful", _pos_measure),
+        ("ousness", "ous", _pos_measure),
+        ("aliti", "al", _pos_measure),
+        ("iviti", "ive", _pos_measure),
+        ("biliti", "ble", _pos_measure),
+        # extensions
+        ("fulli", "ful", _pos_measure),
+        # the l of "logi" stays with the stem so short stems (geo-,
+        # theo-) behave like long ones (archaeo-): condition sees
+        # word[:-4]; re-attaching the l makes it the paper's word[:-3]
+        ("logi", "log", lambda s: _measure(s + "l") > 0),
+    ]
+)
+
+
 def _nltk_step2(word: str) -> str:
     # extension: apply alli->al BEFORE the table and re-enter step 2
     if word.endswith("alli") and _measure(word[:-4]) > 0:
         return _nltk_step2(word[:-4] + "al")
-    return _apply_first(
-        word,
-        [
-            ("ational", "ate", _pos_measure),
-            ("tional", "tion", _pos_measure),
-            ("enci", "ence", _pos_measure),
-            ("anci", "ance", _pos_measure),
-            ("izer", "ize", _pos_measure),
-            # NLTK uses the paper's later bli->ble variant, not abli->able
-            ("bli", "ble", _pos_measure),
-            ("alli", "al", _pos_measure),
-            ("entli", "ent", _pos_measure),
-            ("eli", "e", _pos_measure),
-            ("ousli", "ous", _pos_measure),
-            ("ization", "ize", _pos_measure),
-            ("ation", "ate", _pos_measure),
-            ("ator", "ate", _pos_measure),
-            ("alism", "al", _pos_measure),
-            ("iveness", "ive", _pos_measure),
-            ("fulness", "ful", _pos_measure),
-            ("ousness", "ous", _pos_measure),
-            ("aliti", "al", _pos_measure),
-            ("iviti", "ive", _pos_measure),
-            ("biliti", "ble", _pos_measure),
-            # extensions
-            ("fulli", "ful", _pos_measure),
-            # the l of "logi" stays with the stem so short stems (geo-,
-            # theo-) behave like long ones (archaeo-): condition sees
-            # word[:-3], the replacement re-attaches "log"
-            ("logi", "log", lambda _s, _w=word: _measure(_w[:-3]) > 0),
-        ],
-    )
+    return _apply_first_d(word, _STEP2_D)
+
+
+_STEP3_D = _make_dispatch(
+    [
+        ("icate", "ic", _pos_measure),
+        ("ative", "", _pos_measure),
+        ("alize", "al", _pos_measure),
+        ("iciti", "ic", _pos_measure),
+        ("ical", "ic", _pos_measure),
+        ("ful", "", _pos_measure),
+        ("ness", "", _pos_measure),
+    ]
+)
 
 
 def _nltk_step3(word: str) -> str:
-    return _apply_first(
-        word,
-        [
-            ("icate", "ic", _pos_measure),
-            ("ative", "", _pos_measure),
-            ("alize", "al", _pos_measure),
-            ("iciti", "ic", _pos_measure),
-            ("ical", "ic", _pos_measure),
-            ("ful", "", _pos_measure),
-            ("ness", "", _pos_measure),
-        ],
-    )
+    return _apply_first_d(word, _STEP3_D)
 
 
 def _gt1_measure(stem_part: str) -> bool:
     return _measure(stem_part) > 1
 
 
+_STEP4_D = _make_dispatch(
+    [
+        ("al", "", _gt1_measure),
+        ("ance", "", _gt1_measure),
+        ("ence", "", _gt1_measure),
+        ("er", "", _gt1_measure),
+        ("ic", "", _gt1_measure),
+        ("able", "", _gt1_measure),
+        ("ible", "", _gt1_measure),
+        ("ant", "", _gt1_measure),
+        ("ement", "", _gt1_measure),
+        ("ment", "", _gt1_measure),
+        ("ent", "", _gt1_measure),
+        ("ion", "", lambda s: _measure(s) > 1 and bool(s) and s[-1] in ("s", "t")),
+        ("ou", "", _gt1_measure),
+        ("ism", "", _gt1_measure),
+        ("ate", "", _gt1_measure),
+        ("iti", "", _gt1_measure),
+        ("ous", "", _gt1_measure),
+        ("ive", "", _gt1_measure),
+        ("ize", "", _gt1_measure),
+    ]
+)
+
+
 def _nltk_step4(word: str) -> str:
-    return _apply_first(
-        word,
-        [
-            ("al", "", _gt1_measure),
-            ("ance", "", _gt1_measure),
-            ("ence", "", _gt1_measure),
-            ("er", "", _gt1_measure),
-            ("ic", "", _gt1_measure),
-            ("able", "", _gt1_measure),
-            ("ible", "", _gt1_measure),
-            ("ant", "", _gt1_measure),
-            ("ement", "", _gt1_measure),
-            ("ment", "", _gt1_measure),
-            ("ent", "", _gt1_measure),
-            ("ion", "", lambda s: _measure(s) > 1 and bool(s) and s[-1] in ("s", "t")),
-            ("ou", "", _gt1_measure),
-            ("ism", "", _gt1_measure),
-            ("ate", "", _gt1_measure),
-            ("iti", "", _gt1_measure),
-            ("ous", "", _gt1_measure),
-            ("ive", "", _gt1_measure),
-            ("ize", "", _gt1_measure),
-        ],
-    )
+    return _apply_first_d(word, _STEP4_D)
 
 
 def _stem_nltk(word: str) -> str:

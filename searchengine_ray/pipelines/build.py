@@ -323,6 +323,9 @@ def build_index(
                     sv_keys[order2],
                     sv_keys2[order2],
                     sv["docid"].to_numpy()[order2],
+                    sv["defrag_url"]
+                    .combine_chunks()
+                    .take(pa.array(order2)),
                 )
             )
         else:
