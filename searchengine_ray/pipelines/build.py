@@ -676,12 +676,22 @@ def build_index(
         texts_dir, edges_dir = ck_texts.dir, ck_edges.dir
         lut_for_edges = url_lut_ref
 
+        def _atomic_write(tbl: pa.Table, path: str) -> None:
+            # tmp-then-rename: concurrent task attempts racing the same
+            # deterministic stem each complete a private tmp and the last
+            # rename wins whole — a retry can never truncate a completed
+            # file in place (the failure mode CheckpointValidationError
+            # guards against at the stage level)
+            tmp = f"{path}.{os.getpid()}.tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+
         def fused(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return _to_docs(batch)
             stem = f"part-{batch['docid'][0].as_py():012d}.parquet"
             if write_texts:
-                pq.write_table(
+                _atomic_write(
                     batch.select(["docid", "url", "text"]),
                     os.path.join(texts_dir, stem),
                 )
@@ -689,7 +699,7 @@ def build_index(
                 ks, ks2, dids = ray.get(lut_for_edges)
                 e = _resolve_links_tbl(explode_links(batch), ks, ks2, dids)
                 if e.num_rows:
-                    pq.write_table(e, os.path.join(edges_dir, stem))
+                    _atomic_write(e, os.path.join(edges_dir, stem))
             return _to_docs(batch)
 
         ck_docs.write(

@@ -75,3 +75,57 @@ def test_interrupted_stage_recomputes(ray_session, tmp_path):
     assert r2.num_docs == full.num_docs
     got = pq.read_table(r2.docs_dir)
     assert got.num_rows == full.num_docs
+
+
+def test_invalid_parquet_detection(tmp_path):
+    """Footer validation catches the truncated-file failure mode (a task
+    retry truncating a completed file on shared local storage)."""
+    import pyarrow as pa
+
+    from searchengine_ray.state.checkpoint import invalid_parquet_files
+
+    d = tmp_path / "stage"
+    d.mkdir()
+    pq.write_table(pa.table({"a": [1, 2, 3]}), str(d / "good.parquet"))
+    # truncate a real file mid-body: footer gone
+    full = (d / "good.parquet").read_bytes()
+    (d / "trunc.parquet").write_bytes(full[: len(full) // 2])
+    (d / "empty.parquet").write_bytes(b"")
+    (d / "notes.txt").write_text("ignored")
+    assert invalid_parquet_files(str(d)) == ["empty.parquet", "trunc.parquet"]
+
+
+def test_checkpoint_write_retries_then_raises(tmp_path):
+    """StageCheckpoint.write re-executes the stage when staging validation
+    fails, and surfaces CheckpointValidationError when every attempt does."""
+    import pyarrow as pa
+    import pytest
+
+    from searchengine_ray.state import checkpoint as ckpt
+
+    class FlakyDs:
+        """write_parquet leaves a truncated file for the first n calls."""
+
+        def __init__(self, bad_times):
+            self.bad_times = bad_times
+            self.calls = 0
+
+        def write_parquet(self, path):
+            self.calls += 1
+            pq.write_table(pa.table({"a": [1, 2]}), os.path.join(path, "ok.parquet"))
+            if self.calls <= self.bad_times:
+                with open(os.path.join(path, "bad.parquet"), "wb") as f:
+                    f.write(b"PAR1garbage")
+
+    ck = ckpt.StageCheckpoint(str(tmp_path / "a"), "docs")
+    flaky = FlakyDs(bad_times=1)
+    ck.write(flaky)  # first attempt invalid, retry clean
+    assert flaky.calls == 2
+    assert ck.is_complete()
+    assert ck.load_manifest()["total_rows"] == 2
+    assert not os.path.exists(ck.dir + ".staging")
+
+    ck2 = ckpt.StageCheckpoint(str(tmp_path / "b"), "docs")
+    with pytest.raises(ckpt.CheckpointValidationError, match="bad.parquet"):
+        ck2.write(FlakyDs(bad_times=99))
+    assert not ck2.is_complete()
