@@ -82,20 +82,29 @@ def _contr_sub(m: "re.Match") -> str:
     return f" {a} {b} "
 
 
-def treebank_tokens(text: str) -> list[str]:
+def treebank_tokens(text: str, _known_lower: bool = False) -> list[str]:
     """Penn-Treebank tokens of ``text`` (verbatim substrings, in order).
 
-    Apostrophe/quote-dependent passes are gated on C-speed ``in`` checks —
-    a skipped pass can never match (the whole pattern requires the probed
-    character), so gating is behavior-neutral and saves ~half the regex
-    scans on typical web text."""
+    Apostrophe/quote/punctuation-dependent passes are gated on C-speed
+    ``in`` checks — a skipped pass can never match (the whole pattern
+    requires the probed character), so gating is behavior-neutral and saves
+    ~half the regex scans on typical web text.  ``_known_lower=True``
+    (set only by :func:`tokenize`'s ASCII fast path) additionally gates the
+    rare-word contraction pass on plain substring probes, which is exact
+    only when the text is already lowercased."""
     has_apos = "'" in text
     if "«" in text or "“" in text or "‘" in text or "„" in text or "`" in text:
         text = _TB_OPEN_QUOTES.sub(r" \1 ", text)
     if has_apos:
         text = _TB_APOS_WORD.sub(r"\1 \2", text)
-    for pat, rep in _TB_PUNCT:
-        text = pat.sub(rep, text)
+    # the colon/comma and final-period passes gate on C-speed membership the
+    # same way the apostrophe passes do: a skipped pass cannot match
+    if "." in text:
+        text = _TB_PUNCT[0][0].sub(_TB_PUNCT[0][1], text)
+    if ":" in text or "," in text:
+        text = _TB_PUNCT[1][0].sub(_TB_PUNCT[1][1], text)
+        text = _TB_PUNCT[2][0].sub(_TB_PUNCT[2][1], text)
+    text = _TB_PUNCT[3][0].sub(_TB_PUNCT[3][1], text)
     if has_apos:
         text = _TB_CLOSE_QUOTE.sub(r"\1 ' ", text)
     text = " " + text + " "
@@ -103,7 +112,15 @@ def treebank_tokens(text: str) -> list[str]:
         if "''" in text:
             text = _TB_DOUBLE_QUOTE.sub(r"\1 \2 ", text)
         text = _TB_CLITICS.sub(r"\1 \2 ", text)
-    text = _TB_CONTR_PLAIN.sub(_contr_sub, text)
+    if not _known_lower or (
+        "cannot" in text
+        or "gimme" in text
+        or "gonna" in text
+        or "gotta" in text
+        or "lemme" in text
+        or "wanna" in text
+    ):
+        text = _TB_CONTR_PLAIN.sub(_contr_sub, text)
     if has_apos:
         text = _TB_CONTR_APOS.sub(_contr_sub, text)
     return text.split()
@@ -133,7 +150,20 @@ def tokenize(text: str) -> list[str]:
     ``text[s:e].lower().strip()`` ≡ ``token.lower()`` — the span
     realignment is skipped on this hot path (``span_tokenize`` remains for
     callers that need offsets).
+
+    Fast path (ASCII, no apostrophe): one C-level ``str.lower`` over the
+    whole text replaces the per-token lowers — exactly equivalent there
+    because every pass that can fire is case-insensitive ((?i) or
+    letter-free) so split positions are unchanged, and ASCII lowercasing is
+    context-free per character.  Text WITH apostrophes keeps the per-token
+    path: the clitic pass matches only the two canonical case variants
+    (``n't``/``N'T`` — NLTK's published rule), so pre-lowering would split
+    mixed-case clitics (``Can'T``) the original does not.  Non-ASCII text
+    keeps it too: ``str.lower`` applies the Unicode Final_Sigma rule, whose
+    context differs between whole-text and per-token application.
     """
+    if "'" not in text and text.isascii():
+        return treebank_tokens(text.lower(), _known_lower=True)
     return [t.lower() for t in treebank_tokens(text)]
 
 
