@@ -495,6 +495,7 @@ def _knn_ivf_sql(
     in the last ulp — rank flips would need two distinct vectors within
     ~1e-14 cosine, and exact duplicates tie-break on neighbor_id in both
     engines."""
+    target = max(n_centroids * 64, 1024)  # ops.knn_ivf's sample bound
     norm = (
         "(SELECT cid, list_transform(w, x -> x / nn) AS c FROM ("
         "SELECT cid, w, GREATEST(sqrt(list_sum(list_transform(w, y -> y*y)))"
@@ -508,11 +509,17 @@ def _knn_ivf_sql(
         "SELECT vec_id, v, GREATEST(sqrt(list_sum(list_transform(v, "
         "y -> y*y))), 1e-30) AS nn FROM e)), "
         "nt AS (SELECT count(*) AS n FROM en), "
-        # stride seeding over the vec_id-sorted table == sample[::stride][:C]
+        # bounded train sample: every ceil(n/target)-th vec_id — the exact
+        # deterministic stride ops.knn_ivf samples with, so the oracle
+        # replays the seeding at EVERY scale (not just the full-sample one)
+        f"sst AS (SELECT GREATEST(CAST(CEIL(CAST(n AS DOUBLE) / {target}) "
+        "AS BIGINT), 1) AS s FROM nt), "
         "sed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn, v "
-        "FROM en), "
+        "FROM en WHERE vec_id % (SELECT s FROM sst) = 0), "
+        "sn AS (SELECT count(*) AS n FROM sed), "
+        # stride seeding over the vec_id-sorted sample == sample[::stride][:C]
         f"c0 AS (SELECT row_number() OVER (ORDER BY rn) - 1 AS cid, v AS c "
-        f"FROM sed WHERE rn % GREATEST((SELECT n FROM nt) // {n_centroids}, 1) = 0 "
+        f"FROM sed WHERE rn % GREATEST((SELECT n FROM sn) // {n_centroids}, 1) = 0 "
         f"ORDER BY rn LIMIT {n_centroids})",
     ]
     prev = "c0"

@@ -25,10 +25,37 @@ from __future__ import annotations
 
 from searchengine_ray import params
 
-# common prelude: canonical docids, simple tokens, postings, doc lengths
+# common prelude: canonical docids, simple tokens, postings, doc lengths.
+#
+# ``base`` models BOTH dedup stages the distributed build runs over the
+# simple corpus: D1 ((url, ts) — a no-op here, urls are unique per doc) and
+# D2 (exact content hash, first-wins by canonical docid).  The D2 content
+# key is the page payload byte-for-byte — raw text + NUL + newline-joined
+# link urls (``sources.pages.simple_pages_dataset``) — so two documents
+# with identical text AND identical link blocks collapse to the earlier
+# docid exactly as the pipeline's dedup does.  The planted z.example.org
+# duplicates need no modelling (the oracle never generates them), but
+# ACCIDENTAL text duplicates in the driver's testdata do fire at sf0.1
+# (doc_ids 932/4556 share text and both have doc_id%4==0 links), which a
+# no-dedup oracle mis-scores — found by the sf0.1 scale-check, round 5.
+_LINKS_ALL = (
+    "lt AS (SELECT DISTINCT b.doc_id, "
+    "((b.doc_id * 7 + CAST(j AS BIGINT) * 3 + 1) % "
+    "(SELECT count(*) FROM documents)) AS tdoc "
+    "FROM base_all b, UNNEST(generate_series(0, b.doc_id % 4 - 1)) u(j))"
+)
+
 _BASE = (
-    "base AS (SELECT row_number() OVER (ORDER BY doc_id) AS docid, doc_id, "
-    "lower(COALESCE(text,'')) AS ltext FROM documents), "
+    "base_all AS (SELECT row_number() OVER (ORDER BY doc_id) AS docid, "
+    "doc_id, COALESCE(text,'') AS rtext FROM documents), "
+    f"{_LINKS_ALL}, "
+    "lblock AS (SELECT doc_id, string_agg('https://s.example.org/' || "
+    "lpad(CAST(tdoc AS VARCHAR), 8, '0'), chr(10) ORDER BY tdoc) AS ls "
+    "FROM lt GROUP BY doc_id), "
+    "base AS (SELECT b.docid, b.doc_id, lower(b.rtext) AS ltext "
+    "FROM base_all b LEFT JOIN lblock l USING (doc_id) "
+    "QUALIFY b.docid = min(b.docid) OVER ("
+    "PARTITION BY b.rtext || chr(0) || COALESCE(l.ls, ''))), "
     "toks AS (SELECT docid, unnest(list_filter(regexp_split_to_array(ltext, "
     "'[^a-z0-9]+'), x -> x <> '')) AS term FROM base), "
     "post AS (SELECT term, docid, count(*) AS tf FROM toks GROUP BY term, docid), "
@@ -40,12 +67,13 @@ _BASE = (
 
 _URL = "'https://s.example.org/' || lpad(CAST(b.doc_id AS VARCHAR), 8, '0')"
 
-# deterministic link rule (sources.pages.simple_link_targets) + resolution
+# deterministic link rule (sources.pages.simple_link_targets) + resolution;
+# src ranges over SURVIVORS (a D2-pruned page emits no edges) and dst
+# resolution drops links to pruned urls (the url->docid LUT holds only
+# survivors), both matching the pipeline
 _EDGES = (
-    "tgt AS (SELECT DISTINCT b.docid AS src, "
-    "((b.doc_id * 7 + CAST(j AS BIGINT) * 3 + 1) % "
-    "(SELECT count(*) FROM documents)) AS tdoc "
-    "FROM base b, UNNEST(generate_series(0, b.doc_id % 4 - 1)) u(j)), "
+    "tgt AS (SELECT b.docid AS src, l.tdoc FROM base b JOIN lt l "
+    "USING (doc_id)), "
     "edges AS (SELECT t.src, b2.docid AS dst FROM tgt t "
     "JOIN base b2 ON b2.doc_id = t.tdoc)"
 )

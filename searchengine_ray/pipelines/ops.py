@@ -1508,8 +1508,23 @@ def knn_ivf(
     ds = ray.data.read_parquet(emb_path)
     total = ds.count()  # parquet metadata, no scan
     target = max(n_centroids * 64, 1024)
-    frac = min(1.0, target / max(total, 1))
-    sample_ds = ds if frac >= 1.0 else ds.random_sample(frac, seed=11)
+    # deterministic bounded train sample: every ceil(total/target)-th
+    # vec_id.  Replaces ds.random_sample(seed=11) — Ray's sampler is not
+    # SQL-replayable, which broke the DuckDB oracle the first time a scale
+    # (sf0.1, 2000 vectors) exceeded the full-sample bound (found by the
+    # round-5 sf0.1 scale-check); a vec_id-stride is reproducible in SQL
+    # (``vec_id % s = 0``), spreads evenly, and still never pulls the full
+    # table to the driver.
+    sample_stride = -(-total // target)
+    if sample_stride > 1:
+
+        def _stride_rows(batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            return batch.filter(pa.array(ids % sample_stride == 0))
+
+        sample_ds = ds.map_batches(_stride_rows, batch_format="pyarrow")
+    else:
+        sample_ds = ds
     sample_tbl = pa.concat_tables(
         ray.get(
             sample_ds.select_columns(["vec_id", "embedding"])

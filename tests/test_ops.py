@@ -366,3 +366,44 @@ def test_ngram_jaccard_join_matches_driver(entry, ray_session, monkeypatch):
     }
     assert driver == joined
     assert driver
+
+
+def test_knn_ivf_stride_sample_matches_oracle(entry, ray_session, tmp_path):
+    """Above the full-sample bound (>1024 vectors) the train sample is a
+    deterministic vec_id stride, replayed exactly by the SQL oracle —
+    pins the round-5 fix (random_sample broke the oracle at sf0.1)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    n, dim = 1400, 8
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    d = tmp_path / "sfivf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    from searchengine_ray.pipelines import ops
+
+    got = ops.knn_ivf(str(d), k=10).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()["knn_ivf"]).df()
+    key = ["query_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["query_id", "neighbor_id", "rank"]],
+                                  want[["query_id", "neighbor_id", "rank"]],
+                                  check_dtype=False)
