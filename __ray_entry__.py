@@ -41,6 +41,18 @@ SIMPLE_SCORER_QUERIES = [
     "fast key order part",
 ]
 
+# queries for the legacy max-norm scorer (A9): lowercase corpus-vocabulary
+# words; two exercise the query.count substring quirk — a zero-df word
+# ("partition", "slowest") drops from the term set but still inflates the
+# substring count of the surviving prefix term; one repeats a word
+LEGACY_SCORER_QUERIES = [
+    "hash join merge",
+    "part partition sort",
+    "stream window stream",
+    "slow slowest scan",
+    "key value group",
+]
+
 _INDEX_CACHE: dict[str, Any] = {}
 
 
@@ -327,10 +339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def search_simple_bm25(sf_dir: str):
         return _search_simple(sf_dir, "bm25", SEARCH_QUERIES, 10)
 
-    def search_simple_reference(sf_dir: str, k: int = 5):
-        """Reference-exact scorer over the simple index, ranked on the
-        1e-9-quantized net score (both sides — see
-        oracle/simple_sql.reference_scorer_sql): candidate-normalized
+    def _search_simple_quantized(sf_dir: str, mode: str, qs: list[str], k: int):
+        """Scorer over the simple index, ranked on the 1e-9-quantized net
+        score (both sides — see oracle/simple_sql): candidate-normalized
         near-ties are otherwise decided by f64 summation order."""
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -340,14 +351,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         r = _build_simple_index(sf_dir)
         queries = ray.data.from_items(
-            [{"qid": i, "query": q} for i, q in enumerate(SIMPLE_SCORER_QUERIES)]
+            [{"qid": i, "query": q} for i, q in enumerate(qs)]
         )
         scored = queries.map_batches(
             QueryActor,
             fn_constructor_kwargs={
                 "index_dir": r.out_dir,
                 "k": None,  # score ALL candidates; top-k after quantization
-                "mode": "reference",
+                "mode": mode,
             },
             batch_format="pyarrow",
             batch_size=4,
@@ -370,6 +381,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return scored.groupby("qid").map_groups(topk, batch_format="pyarrow")
+
+    def search_simple_reference(sf_dir: str):
+        return _search_simple_quantized(
+            sf_dir, "reference", SIMPLE_SCORER_QUERIES, 5
+        )
+
+    def search_simple_legacy(sf_dir: str):
+        """The legacy max-norm scorer (SURVEY §2 A9,
+        ``lib/process_query.py:154-201``) over the simple index — full-df
+        idf, substring-count query tf, pr/hub/auth max-normalization over
+        the intersection candidates (oracle:
+        simple_sql.legacy_scorer_sql)."""
+        return _search_simple_quantized(
+            sf_dir, "legacy", LEGACY_SCORER_QUERIES, 5
+        )
 
     def summaries_docs(sf_dir: str):
         """The summarizer actor-pool stage over the documents table
@@ -416,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_simple_hits": index_simple_hits,
         "search_simple_bm25": search_simple_bm25,
         "search_simple_reference": search_simple_reference,
+        "search_simple_legacy": search_simple_legacy,
         # --- SQL-checked text/relational operators
         "term_df": ops.term_df,
         "postings": ops.postings_simple,
@@ -692,6 +719,9 @@ def oracle_sql() -> dict[str, str]:
         "search_simple_bm25": simple_sql.bm25_sql(SEARCH_QUERIES, k=10),
         "search_simple_reference": simple_sql.reference_scorer_sql(
             SIMPLE_SCORER_QUERIES, k=5
+        ),
+        "search_simple_legacy": simple_sql.legacy_scorer_sql(
+            LEGACY_SCORER_QUERIES, k=5
         ),
         "term_df": (
             f"SELECT term, count(DISTINCT doc_id) AS df FROM ({_TOKS}) GROUP BY term"

@@ -6,7 +6,7 @@ reference can switch 1:1 (SURVEY.md §3):
         same -o skips completed stages)
     python -m searchengine_ray.cli compute -o INDEX_DIR
         ≙ ``python compute.py`` (PageRank + HITS written onto docs)
-    python -m searchengine_ray.cli search -o INDEX_DIR [-k 5] [--bm25] [QUERY...]
+    python -m searchengine_ray.cli search -o INDEX_DIR [-k 5] [--bm25|--legacy] [QUERY...]
         ≙ ``python search.py`` / ``searcht.py`` (no QUERY args → REPL)
     python -m searchengine_ray.cli summarize -o INDEX_DIR
         ≙ ``python summarizer.py`` (stub model, see stages/summarize.py)
@@ -75,7 +75,12 @@ def cmd_search(args) -> None:
     from searchengine_ray.stages.summarize import SummaryStore
 
     engine = QueryEngine(args.out)
-    mode = engine.search_bm25 if args.bm25 else engine.search
+    if args.bm25:
+        mode = engine.search_bm25
+    elif args.legacy:
+        mode = engine.search_legacy  # A9 max-norm scorer (lib/process_query.py)
+    else:
+        mode = engine.search
     store = None
     if args.summaries:
         sdir = os.path.join(args.out, "summaries")
@@ -174,6 +179,7 @@ def main(argv=None) -> None:
     se.add_argument("-o", "--out", required=True)
     se.add_argument("-k", type=int, default=5)
     se.add_argument("--bm25", action="store_true")
+    se.add_argument("--legacy", action="store_true")
     se.add_argument("--summaries", action="store_true")
     se.add_argument("query", nargs="*")
     se.set_defaults(fn=cmd_search)

@@ -355,3 +355,79 @@ def _compute_scores(idx, docid_postings, token_postings, query_vec):
             + params.QUALITY_FACTOR * quality
         )
     return net_scores
+
+
+def process_query_legacy(idx: OracleIndex, query: str) -> list[tuple[int, float]]:
+    """``lib/process_query.py:154-201`` verbatim semantics (the legacy
+    max-norm scorer, SURVEY §2 A9 — dead code in the reference: neither
+    ``search.py`` nor ``searcht.py`` imports this module's scorer).
+
+    Quirks kept faithfully: whitespace split -> raw-word stopword filter
+    -> Porter stem (``:55-57``); full-df idf ``log2((N+1)/(df+1))``
+    (``:98`` — NOT the live scorer's intersected-df quirk A5); query tf
+    counts SUBSTRING occurrences of the stemmed word in the raw query
+    string (``query.count(word)``, ``:101`` — "slow" counts twice in
+    "slow slowest"); ``1+ln(tf)`` doc weights with a flat 1.2 promotion
+    on any important tag (``:87,115-116``); per-doc L2 cosine; quality =
+    pr/max + hub/max + auth/max + cosine with maxes over the intersection
+    candidates (``:31-48,186-191``).  Divergence: when every query weight
+    is 0 (no stemmed word is a substring of the raw query) the reference
+    raises ZeroDivisionError at ``:145``; we return []."""
+    # NLTK's PorterStemmer.stem lowercases its input; the stopword filter
+    # sees the raw (possibly mixed-case) word first (:55-57)
+    stemmed = tokenizer.stem_tokens(
+        [w.lower() for w in query.split() if not tokenizer.is_stopword(w)]
+    )
+    # dict-keyed postings: duplicates collapse, insertion order kept (:67-75)
+    postings: dict[str, list[tuple[int, int, int]]] = {}
+    doc_sets = []
+    for word in stemmed:
+        plist = idx.postings.get(word, [])
+        if plist:
+            postings[word] = plist
+            doc_sets.append({p[0] for p in plist})
+    if not doc_sets:
+        return []
+    common = set.intersection(*doc_sets)
+    if not common:
+        return []
+
+    max_pr = max(idx.docs[d].pr_quality for d in common)
+    max_hub = max(idx.docs[d].hub_quality for d in common)
+    max_auth = max(idx.docs[d].auth_quality for d in common)
+
+    PROMOTION_MUL = 1.2
+    doc_count = idx.num_nonempty
+    doc_vectors: dict[int, dict[str, float]] = {}
+    query_vector: dict[str, float] = {}
+    query_length = 0.0
+    for word, plist in postings.items():
+        idf = math.log2((doc_count + 1) / (len(plist) + 1))
+        qtf = query.count(word)  # substring count on the RAW query (:101)
+        qtf_w = 1 + math.log(qtf) if qtf > 0 else 0
+        qw = qtf_w * idf
+        query_vector[word] = qw
+        query_length += qw**2
+        for docid, tf, important in plist:
+            if docid not in common:
+                continue
+            w = 1 + math.log(tf) if tf > 0 else 0
+            if important:
+                w *= PROMOTION_MUL
+            doc_vectors.setdefault(docid, {})[word] = w
+    query_length = math.sqrt(query_length)
+    if query_length == 0:
+        return []  # divergence: reference ZeroDivisionError (:145)
+
+    scores: dict[int, float] = {}
+    for docid, weights in doc_vectors.items():
+        dlen = math.sqrt(sum(w**2 for w in weights.values()))
+        cos = sum(
+            (w / dlen) * (query_vector[t] / query_length)
+            for t, w in weights.items()
+        )
+        npr = idx.docs[docid].pr_quality / max_pr if max_pr > 0 else 0
+        nhub = idx.docs[docid].hub_quality / max_hub if max_hub > 0 else 0
+        nauth = idx.docs[docid].auth_quality / max_auth if max_auth > 0 else 0
+        scores[docid] = npr + nhub + nauth + cos
+    return sorted(scores.items(), key=lambda kv: kv[1], reverse=True)

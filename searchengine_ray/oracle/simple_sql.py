@@ -274,6 +274,98 @@ def reference_scorer_sql(queries: list[str], k: int = 5) -> str:
     )
 
 
+def legacy_scorer_sql(queries: list[str], k: int = 5) -> str:
+    """The legacy max-norm scorer (``lib/process_query.py:154-201``
+    semantics as implemented by ``QueryEngine.search_legacy``, SURVEY §2
+    A9) over the simple index, in SQL: conjunctive intersection, full-df
+    idf ``log2((N+1)/(df+1))`` (not the live scorer's intersected-df
+    quirk), query tf computed IN SQL as the substring count of the term
+    in the raw query string (the ``query.count(word)`` quirk —
+    ``(length(q)-length(replace(q,term,'')))/length(term)`` counts the
+    same non-overlapping occurrences), ``1+ln(tf)`` doc weights, per-doc
+    L2 cosine, and quality = pr/max + hub/max + auth/max + cosine with
+    maxes over the intersection candidates.  The 1.2 important-tag
+    promotion is identity here: the simple corpus stores importance 0 on
+    every posting (plain-text payload + the replicated importance bug),
+    so the SQL omits it — the branch is pytest-covered on an
+    importance_bug=False reference-mode index.  Queries must be lowercase
+    (the engine counts substrings of the lowercase term in the RAW query)
+    and must keep at least one term with a nonzero substring count (an
+    all-zero query vector returns [] — reference raises).  Returns
+    (qid, docid, rank) ranked round(net,9) DESC, docid ASC, top-``k``."""
+    from searchengine_ray.functions.tokenizer import is_stopword, simple_tokens
+
+    qvals, tvals = [], []
+    for qid, q in enumerate(queries):
+        qvals.append(f"({qid}, '{q}')")
+        seen: set[str] = set()
+        for t in simple_tokens(q):
+            if is_stopword(t) or t in seen:
+                continue
+            seen.add(t)
+            tvals.append(f"({qid}, '{t}')")
+    pr_iters = params.PR_MAX_ITER
+    hits_iters = params.HITS_MAX_ITER
+    return (
+        f"WITH {_BASE}, {_EDGES}, {_pagerank_ctes(pr_iters)}, "
+        f"{_hits_ctes(hits_iters)}, "
+        "qpr AS (SELECT docid, CAST(CAST(r AS FLOAT) AS DOUBLE) AS pr "
+        f"FROM p{pr_iters}), "
+        "qha AS (SELECT docid, CAST(CAST(hub AS FLOAT) AS DOUBLE) AS hub, "
+        f"CAST(CAST(auth AS FLOAT) AS DOUBLE) AS auth FROM h{hits_iters}), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base), "
+        f"qstr(qid, qs) AS (VALUES {', '.join(qvals)}), "
+        f"qraw(qid, term) AS (VALUES {', '.join(tvals)}), "
+        # zero-df terms contribute neither a doc set nor a query weight
+        "q AS (SELECT * FROM qraw WHERE term IN (SELECT term FROM post)), "
+        "qn AS (SELECT qid, count(*) AS nt FROM q GROUP BY qid), "
+        # conjunctive intersection: docs containing ALL surviving terms
+        "cand AS (SELECT q.qid, p.docid FROM q JOIN post p USING (term) "
+        "JOIN qn ON qn.qid = q.qid GROUP BY q.qid, p.docid, qn.nt "
+        "HAVING count(*) = qn.nt), "
+        "tdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post "
+        "GROUP BY term), "
+        # full-df idf + the substring-count query tf, both per (qid, term)
+        "qv AS (SELECT q.qid, q.term, "
+        "log2((1.0 + (SELECT n FROM nn)) / (1.0 + t.df)) AS idf, "
+        "(length(s.qs) - length(replace(s.qs, q.term, ''))) "
+        "/ length(q.term) AS qtf "
+        "FROM q JOIN tdf t USING (term) JOIN qstr s ON s.qid = q.qid), "
+        "qw AS (SELECT qid, term, CASE WHEN qtf > 0 "
+        "THEN (1.0 + ln(CAST(qtf AS DOUBLE))) * idf ELSE 0.0 END AS qw "
+        "FROM qv), "
+        "qlen AS (SELECT qid, sqrt(sum(qw * qw)) AS ql FROM qw GROUP BY qid), "
+        # doc weights: 1+ln(tf); importance identity (all-0, see docstring)
+        "dw AS (SELECT c.qid, c.docid, p.term, "
+        "1.0 + ln(CAST(p.tf AS DOUBLE)) AS w "
+        "FROM cand c JOIN q ON q.qid = c.qid "
+        "JOIN post p ON p.docid = c.docid AND p.term = q.term), "
+        "dlen AS (SELECT qid, docid, sqrt(sum(w * w)) AS dn FROM dw "
+        "GROUP BY qid, docid), "
+        "cosine AS (SELECT d.qid, d.docid, "
+        "sum((d.w / dl.dn) * (v.qw / ql.ql)) AS cos FROM dw d "
+        "JOIN dlen dl ON dl.qid = d.qid AND dl.docid = d.docid "
+        "JOIN qw v ON v.qid = d.qid AND v.term = d.term "
+        "JOIN qlen ql ON ql.qid = d.qid GROUP BY d.qid, d.docid), "
+        # max-norm quality over the intersection candidates
+        "mx AS (SELECT c.qid, max(p.pr) AS mpr, max(h.hub) AS mhub, "
+        "max(h.auth) AS mauth FROM cand c "
+        "JOIN qpr p ON p.docid = c.docid "
+        "JOIN qha h ON h.docid = c.docid GROUP BY c.qid), "
+        "scored AS (SELECT c.qid, c.docid, "
+        "(CASE WHEN m.mpr > 0 THEN p.pr / m.mpr ELSE 0.0 END) + "
+        "(CASE WHEN m.mhub > 0 THEN h.hub / m.mhub ELSE 0.0 END) + "
+        "(CASE WHEN m.mauth > 0 THEN h.auth / m.mauth ELSE 0.0 END) + "
+        "co.cos AS net FROM cand c "
+        "JOIN cosine co ON co.qid = c.qid AND co.docid = c.docid "
+        "JOIN qpr p ON p.docid = c.docid JOIN qha h ON h.docid = c.docid "
+        "JOIN mx m ON m.qid = c.qid) "
+        "SELECT qid, docid, rank FROM (SELECT qid, docid, row_number() OVER ("
+        "PARTITION BY qid ORDER BY round(net, 9) DESC, docid ASC) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
+
+
 def bm25_sql(queries: list[str], k: int = 10) -> str:
     """Disjunctive BM25 top-k over the simple index — the exact
     ``QueryEngine.search_bm25`` formula (k1/b from params.py, global-df

@@ -9,7 +9,7 @@ bucket — the Parquet footer stats play the reference's ``.seek`` file,
 SURVEY.md §1.3).  Per-term posting rows are LRU-cached
 (``lib/reader.py:229``'s ``lru_cache(256)``).
 
-Two scoring modes:
+Three scoring modes:
 
 - :meth:`search` — the reference-exact scorer (``lib/queryproc.py:165-270``),
   vectorized: stopword/zero-df validation with the df-min-heap rule,
@@ -20,6 +20,8 @@ Two scoring modes:
 - :meth:`search_bm25` — the additional disjunctive BM25 top-k mode with
   block-max WAND skipping over the stored per-block bounds (north_star;
   no reference counterpart).
+- :meth:`search_legacy` — the legacy max-norm scorer
+  (``lib/process_query.py:154-201``, SURVEY §2 A9), quirks included.
 
 Designed for serving as a Ray actor pool: build one engine per actor in
 ``__init__`` and evaluate query batches in ``__call__``
@@ -303,6 +305,85 @@ class QueryEngine:
             order = order[:k]
         return [(int(cand[i]), float(net[i]), self._url(int(cand[i]))) for i in order]
 
+    # ---------------------------------------------------------- legacy mode
+
+    def _legacy_terms(self, query: str) -> list[str]:
+        """The legacy scorer's query pipeline (``lib/process_query.py:55-57``):
+        whitespace split -> raw-word stopword filter -> Porter stem (NLTK's
+        ``stem`` lowercases its input).  The simple-index variant swaps the
+        split+stem for the build's simple tokenizer, keeping the raw-word
+        stopword filter."""
+        if self.tokenizer_mode == "simple":
+            words = tokenizer.simple_tokens(query)
+            return [w for w in words if not tokenizer.is_stopword(w)]
+        return [
+            self._stemmer.stem(w.lower())
+            for w in query.split()
+            if not tokenizer.is_stopword(w)
+        ]
+
+    def search_legacy(
+        self, query: str, k: int | None = 5
+    ) -> list[tuple[int, float, str]]:
+        """The legacy max-norm scorer (SURVEY §2 A9, ``lib/process_query.py:
+        154-201`` — dead code in the reference, kept for parity): conjunctive
+        intersection, full-df idf ``log2((N+1)/(df+1))`` (NOT the live
+        scorer's intersected-df quirk), query tf = SUBSTRING count of the
+        stemmed word in the raw query (``query.count(word)``, ``:101``),
+        ``1+ln(tf)`` doc weights with a flat 1.2 promotion on any important
+        tag, per-doc L2 cosine, and quality = pr/max + hub/max + auth/max
+        + cosine with maxes over the intersection candidates.  Ties broken
+        docid-ascending (the reference relies on dict order).  Divergence:
+        an all-zero query vector raises ZeroDivisionError in the reference
+        (``:145``); we return []."""
+        terms = list(dict.fromkeys(self._legacy_terms(query)))
+        fetched = {t: r for t in terms if (r := self.fetch(t)) is not None}
+        if not fetched:
+            return []
+        tokenset = list(fetched.keys())
+
+        cand = None
+        for t in sorted(tokenset, key=lambda t: len(fetched[t][0])):
+            ids = fetched[t][0]
+            cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
+            if cand.size == 0:
+                return []
+
+        T, C = len(tokenset), cand.size
+        w = np.empty((T, C), dtype=np.float64)
+        qw = np.empty(T, dtype=np.float64)
+        for i, t in enumerate(tokenset):
+            ids, tfs, imps, *_ = fetched[t]
+            idf = math.log2((self.num_docs + 1) / (len(ids) + 1))
+            pos = np.searchsorted(ids, cand)
+            dtf = 1.0 + np.log(tfs[pos].astype(np.float64))
+            w[i] = np.where(imps[pos] != 0, dtf * 1.2, dtf)
+            qtf = query.count(t)  # substring count on the RAW query
+            qw[i] = (1.0 + math.log(qtf)) * idf if qtf > 0 else 0.0
+        qlen = math.sqrt(float((qw**2).sum()))
+        if qlen == 0:
+            return []
+        dlen = np.sqrt((w**2).sum(axis=0))
+        cosine = ((w / dlen[None, :]) * (qw / qlen)[:, None]).sum(axis=0)
+
+        def _maxnorm(v: np.ndarray) -> np.ndarray:
+            m = float(v.max())
+            return v / m if m > 0 else np.zeros_like(v)
+
+        score = (
+            _maxnorm(self.pr[cand].astype(np.float64))
+            + _maxnorm(self.hub[cand].astype(np.float64))
+            + _maxnorm(self.auth[cand].astype(np.float64))
+            + cosine
+        )
+        order = np.lexsort((cand, -score))
+        if k is not None:
+            order = order[:k]
+        return [
+            (int(cand[i]), float(score[i]), self._url(int(cand[i])))
+            for i in order
+        ]
+
     # ------------------------------------------------------------ BM25 mode
 
     def _bm25_idf(self, df: int) -> float:
@@ -392,8 +473,13 @@ class QueryActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, queries = batch["qid"].to_pylist(), batch["query"].to_pylist()
         out = {"qid": [], "rank": [], "docid": [], "score": [], "url": []}
+        fns = {
+            "reference": self.engine.search,
+            "bm25": self.engine.search_bm25,
+            "legacy": self.engine.search_legacy,
+        }
         for qid, q in zip(qids, queries):
-            fn = self.engine.search if self.mode == "reference" else self.engine.search_bm25
+            fn = fns[self.mode]
             for rank, (docid, score, url) in enumerate(fn(q, self.k), 1):
                 out["qid"].append(qid)
                 out["rank"].append(rank)

@@ -148,6 +148,62 @@ def test_topk_slice(engine, built):
     assert all(u for _, _, u in top5)
 
 
+LEGACY_QUERIES = QUERIES + [
+    "Search Engine ranking",  # mixed case: stopword filter sees raw words,
+    # stemming lowercases, and query.count on the RAW query misses the
+    # lowercase stemmed terms (qtf 0 for all-capitalized words)
+    "rank ranking page",      # substring-count quirk: "rank" counts 2
+]
+
+
+@pytest.mark.parametrize("query", LEGACY_QUERIES)
+def test_legacy_rank_identity(engine, built, query):
+    """A9 legacy max-norm scorer vs the serial transcription of
+    lib/process_query.py:154-201 (full-df idf, substring query tf,
+    max-norm quality)."""
+    _, _, oracle = built
+    want = serial.process_query_legacy(oracle, query)
+    got = [(d, s) for d, s, _ in engine.search_legacy(query, k=None)]
+    assert len(got) == len(want), query
+    gk, wk = _rank_key(got), _rank_key(want)
+    assert [d for d, _ in gk] == [d for d, _ in wk], query
+    for (gd, gs), (wd, ws) in zip(gk, wk):
+        assert gs == pytest.approx(ws, rel=1e-7, abs=1e-10), (query, gd)
+
+
+def test_legacy_promotion_parity(ray_session, tmp_path):
+    """importance_bug=False: the legacy scorer's 1.2 important-tag
+    promotion branch fires (some intersection posting is tagged) and the
+    engine still matches the serial oracle.  The driver's simple-index
+    oracle can't cover this branch (the simple corpus stores importance 0
+    on every posting)."""
+    from searchengine_ray import params as P
+
+    table = synthesize_pages(160)
+    cfg = P.BuildConfig(importance_bug=False)
+    result = build_index(
+        ray.data.from_arrow(table).repartition(4), str(tmp_path / "nb"), cfg
+    )
+    _update_docs_with_quality(result, "local")
+    oracle = serial.build(table, cfg)
+    serial.apply_quality(oracle)
+    eng = QueryEngine(result.out_dir)
+
+    fired = False
+    for q in ["search engine ranking", "hub page", "lecture notes course"]:
+        want = serial.process_query_legacy(oracle, q)
+        got = [(d, s) for d, s, _ in eng.search_legacy(q, k=None)]
+        gk, wk = _rank_key(got), _rank_key(want)
+        assert [d for d, _ in gk] == [d for d, _ in wk], q
+        for (gd, gs), (wd, ws) in zip(gk, wk):
+            assert gs == pytest.approx(ws, rel=1e-7, abs=1e-10), (q, gd)
+        for t in eng._legacy_terms(q):
+            r = eng.fetch(t)
+            if r is not None and (r[2] != 0).any():
+                fired = True
+    assert fired  # the 1.2 branch was actually exercised
+
+
 def test_bm25_matches_bruteforce(engine):
     import math
 
