@@ -115,7 +115,7 @@ def cmd_serve(args) -> None:
     _ray()
     from searchengine_ray.web import create_app
 
-    app = create_app(args.out, bm25=args.bm25)
+    app = create_app(args.out, bm25=args.bm25, legacy=args.legacy)
     print(f"serving http://{args.host}:{args.port}/ (ctrl-c to stop)")
     app.run(host=args.host, port=args.port, debug=False)
 
@@ -189,6 +189,7 @@ def main(argv=None) -> None:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("-p", "--port", type=int, default=5000)
     sv.add_argument("--bm25", action="store_true")
+    sv.add_argument("--legacy", action="store_true")
     sv.set_defaults(fn=cmd_serve)
 
     su = sub.add_parser("summarize")

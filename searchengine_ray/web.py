@@ -82,7 +82,7 @@ def format_results_web(ranked, k: int, summary_store) -> list[str]:
     return out
 
 
-def create_app(index_dir: str, bm25: bool = False):
+def create_app(index_dir: str, bm25: bool = False, legacy: bool = False):
     from flask import Flask, render_template_string, request
 
     from searchengine_ray.pipelines.query import QueryEngine
@@ -106,6 +106,9 @@ def create_app(index_dir: str, bm25: bool = False):
             if bm25:
                 k = 1000 if num_results == "all" else int(num_results)
                 ranked = engine.search_bm25(query, k=k)
+            elif legacy:
+                # A9 max-norm scorer (lib/process_query.py)
+                ranked = engine.search_legacy(query, k=None)
             else:
                 # reference shape: score ALL candidates, slice afterwards
                 ranked = engine.search(query, k=None)

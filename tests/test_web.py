@@ -32,6 +32,21 @@ def client(web_index):
     return app.test_client()
 
 
+def test_legacy_mode_serves(web_index):
+    """A9 legacy scorer reachable through the web surface
+    (create_app(legacy=True) ≙ ``cli serve --legacy``)."""
+    from searchengine_ray.web import create_app
+
+    app = create_app(web_index, legacy=True)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    r = c.post("/", data={"query": "search engine index", "num_results": "5"})
+    assert r.status_code == 200
+    body = r.get_data(as_text=True)
+    assert "Results for:" in body
+    assert "Score:" in body
+
+
 def test_get_renders_form(client):
     r = client.get("/")
     assert r.status_code == 200
