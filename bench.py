@@ -168,6 +168,10 @@ def run_bench(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     for q in SEARCH_QUERIES:
         engine.search_bm25(q, k=10)
     timings["query_bm25"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for q in SEARCH_QUERIES:
+        engine.search_legacy(q, k=5)
+    timings["query_legacy"] = time.perf_counter() - t0
 
     # ---- training-data operators ---------------------------------------
     for name, fn in [
